@@ -1,0 +1,12 @@
+"""Test config: force JAX onto an 8-device virtual CPU mesh (SURVEY.md §5.4).
+
+Must run before any jax import, hence module-level env mutation here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
