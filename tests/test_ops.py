@@ -1,0 +1,238 @@
+"""Bit-exactness tests: every JAX kernel vs its NumPy-oracle twin.
+
+Run on CPU (conftest forces JAX_PLATFORMS=cpu, 8 virtual devices); all ops
+are integer-only so CPU/TPU agree exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from kbbq_tpu.constants import DEFAULT_NUM_HASHES
+from kbbq_tpu.io.batcher import ReadArrays
+from kbbq_tpu.oracle import BloomParams, CovariateTables, OracleBloom
+from kbbq_tpu.oracle import accumulate_read
+from kbbq_tpu.oracle import kmers as okm
+from kbbq_tpu.oracle import lighter as olight
+from kbbq_tpu.oracle.covariate import compute_skips, cycle_indices, dinuc_indices
+from kbbq_tpu.oracle.gatk import build_recal_table
+from kbbq_tpu.ops import (
+    accumulate_covariates,
+    apply_recal_table,
+    bloom_insert,
+    bloom_query,
+    canonical_kmers_batch,
+    fmix32,
+    infer_errors_batch,
+    new_covariate_state,
+    sample_keep_mask,
+    trusted_mask_batch,
+)
+from kbbq_tpu.ops import kmers as jkm
+from kbbq_tpu.utils.synth import make_dataset
+
+
+def _random_codes(rng, B, L, n_rate=0.02, short_rate=0.3):
+    """Batch with pads (short reads) and Ns, plus per-read lists."""
+    codes = np.full((B, L), 4, dtype=np.int8)
+    lists = []
+    for b in range(B):
+        m = L if rng.random() > short_rate else int(rng.integers(1, L + 1))
+        row = rng.integers(0, 4, size=m).astype(np.int8)
+        row[rng.random(m) < n_rate] = 4
+        codes[b, :m] = row
+        lists.append(row)
+    return codes, lists
+
+
+def test_fmix32_matches_oracle():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**32, size=1000, dtype=np.uint32)
+    assert (np.asarray(fmix32(jnp.asarray(x))) == okm.fmix32(x)).all()
+
+
+@pytest.mark.parametrize("k", [4, 16, 17, 31, 32])
+def test_canonical_kmers_batch_matches_oracle(k):
+    rng = np.random.default_rng(k)
+    B, L = 16, 50
+    codes, lists = _random_codes(rng, B, L)
+    hi, lo, valid = canonical_kmers_batch(jnp.asarray(codes), k)
+    hi, lo, valid = map(np.asarray, (hi, lo, valid))
+    for b in range(B):
+        ohi, olo, ovalid = okm.canonical_kmers(codes[b], k)
+        n = L - k + 1
+        assert (valid[b] == np.pad(ovalid, (0, n - ovalid.size))).all()
+        sel = valid[b][:ovalid.size] & ovalid
+        assert (hi[b][:ovalid.size][sel] == ohi[sel]).all()
+        assert (lo[b][:ovalid.size][sel] == olo[sel]).all()
+
+
+def test_kmer_hashes_match_oracle():
+    rng = np.random.default_rng(1)
+    hi = rng.integers(0, 2**32, size=500, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=500, dtype=np.uint32)
+    jh1, jh2 = jkm.kmer_hashes(jnp.asarray(hi), jnp.asarray(lo))
+    oh1, oh2 = okm.kmer_hashes(hi, lo)
+    assert (np.asarray(jh1) == oh1).all()
+    assert (np.asarray(jh2) == oh2).all()
+
+
+def test_sample_keep_mask_matches_oracle():
+    rng = np.random.default_rng(2)
+    B, n = 64, 40
+    rids = rng.integers(0, 2**32, size=B, dtype=np.uint32)
+    thresh = okm.alpha_threshold(0.3)
+    got = np.asarray(sample_keep_mask(jnp.asarray(rids), n, thresh))
+    offs = np.arange(n, dtype=np.uint32)
+    for b in range(B):
+        want = okm.sample_hash(rids[b], offs) <= thresh
+        assert (got[b] == want).all()
+
+
+def test_bloom_roundtrip_matches_oracle():
+    rng = np.random.default_rng(3)
+    params = BloomParams.for_keys(5000, 20)
+    ob = OracleBloom(params)
+    hi = rng.integers(0, 2**32, size=5000, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=5000, dtype=np.uint32)
+    mask = rng.random(5000) < 0.5
+    ob.insert(hi, lo, mask=mask)
+
+    slots = jnp.zeros(params.m, dtype=jnp.uint8)
+    slots = bloom_insert(slots, jnp.asarray(hi), jnp.asarray(lo),
+                         jnp.asarray(mask), params.num_hashes)
+    assert (np.asarray(slots) == ob.slots).all()
+
+    qhi = rng.integers(0, 2**32, size=3000, dtype=np.uint32)
+    qlo = rng.integers(0, 2**32, size=3000, dtype=np.uint32)
+    got = np.asarray(bloom_query(slots, jnp.asarray(qhi), jnp.asarray(qlo),
+                                 params.num_hashes))
+    assert (got == ob.query(qhi, qlo)).all()
+
+
+def _build_filters(ds, k, alpha):
+    """Oracle pass-1 + pass-2 filters for a synthetic dataset."""
+    thresh = okm.alpha_threshold(alpha)
+    a = OracleBloom(BloomParams.for_keys(50_000, 20))
+    for rid, codes in enumerate(ds.codes):
+        hi, lo, valid = okm.canonical_kmers(codes, k)
+        offs = np.arange(hi.size, dtype=np.uint32)
+        keep = valid & (okm.sample_hash(np.uint32(rid), offs) <= thresh)
+        a.insert(hi, lo, mask=keep)
+    b = OracleBloom(BloomParams.for_keys(50_000, 20))
+    for codes in ds.codes:
+        tr = olight.trusted_kmer_mask(codes, k, a, alpha)
+        if tr.any():
+            hi, lo, _ = okm.canonical_kmers(codes, k)
+            b.insert(hi, lo, mask=tr)
+    return a, b
+
+
+def test_trusted_mask_matches_oracle():
+    k, alpha = 16, 7.0 / 30.0
+    ds = make_dataset(genome_len=2000, read_len=60, coverage=30.0,
+                      error_rate=0.02, seed=11, n_rate=0.01)
+    bloom_a, _ = _build_filters(ds, k, alpha)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    codes_j = jnp.asarray(arrays.codes)
+    hi, lo, valid = canonical_kmers_batch(codes_j, k)
+    hits = bloom_query(jnp.asarray(bloom_a.slots), hi, lo,
+                       bloom_a.params.num_hashes) & valid
+    t_table = jnp.asarray(olight.coverage_thresholds(alpha, k))
+    got = np.asarray(trusted_mask_batch(hits, valid, t_table, k))
+    for i, codes in enumerate(ds.codes[:50]):
+        want = olight.trusted_kmer_mask(codes, k, bloom_a, alpha)
+        n = want.size
+        assert (got[i][:n] == want).all(), f"read {i}"
+        assert not got[i][n:].any()
+
+
+def test_infer_errors_matches_oracle():
+    k, alpha = 16, 7.0 / 30.0
+    ds = make_dataset(genome_len=2000, read_len=60, coverage=30.0,
+                      error_rate=0.03, seed=13, n_rate=0.01)
+    _, bloom_b = _build_filters(ds, k, alpha)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    slots = jnp.asarray(bloom_b.slots)
+    got = np.asarray(infer_errors_batch(
+        slots, jnp.asarray(arrays.codes), k, bloom_b.params.num_hashes))
+    mismatches = []
+    for i, codes in enumerate(ds.codes[:120]):
+        want = olight.infer_read_errors(codes, k, bloom_b)
+        if not (got[i][:want.size] == want).all():
+            mismatches.append(i)
+    assert not mismatches, f"reads disagree: {mismatches[:10]}"
+
+
+def test_infer_errors_edge_shapes():
+    """Pads, reads < k, all-N reads: no errors marked, no crashes."""
+    k = 16
+    bloom_b = OracleBloom(BloomParams.for_keys(1000, 20))
+    codes = np.full((4, 40), 4, dtype=np.int8)
+    codes[0, :10] = 1          # shorter than k
+    codes[1, :] = 2            # uniform read, empty filter
+    # codes[2]: all N; codes[3]: all pad
+    got = np.asarray(infer_errors_batch(
+        jnp.asarray(bloom_b.slots), jnp.asarray(codes), k,
+        bloom_b.params.num_hashes))
+    assert not got.any()
+
+
+def test_accumulate_covariates_matches_oracle():
+    ds = make_dataset(genome_len=1500, read_len=50, coverage=10.0,
+                      error_rate=0.02, seed=17, num_rg=3, paired=True,
+                      n_rate=0.02)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    rng = np.random.default_rng(5)
+    errors = rng.random(arrays.codes.shape) < 0.05
+    errors &= arrays.mask
+
+    state = new_covariate_state(3, arrays.max_len)
+    state = accumulate_covariates(
+        state, jnp.asarray(arrays.codes), jnp.asarray(arrays.quals),
+        jnp.asarray(arrays.mask), jnp.asarray(arrays.rgs),
+        jnp.asarray(arrays.seconds), jnp.asarray(errors))
+
+    tables = CovariateTables(3, arrays.max_len)
+    for i in range(len(ds.codes)):
+        L = len(ds.codes[i])
+        accumulate_read(tables, ds.codes[i], ds.quals[i], errors[i][:L],
+                        ds.rgs[i], ds.seconds[i])
+    assert (np.asarray(state["cyc_total"]) == tables.cyc_total).all()
+    assert (np.asarray(state["cyc_errors"]) == tables.cyc_errors).all()
+    assert (np.asarray(state["din_total"]) == tables.din_total).all()
+    assert (np.asarray(state["din_errors"]) == tables.din_errors).all()
+
+
+def test_apply_recal_table_matches_oracle():
+    ds = make_dataset(genome_len=1500, read_len=50, coverage=10.0,
+                      error_rate=0.02, seed=19, num_rg=2, paired=True)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    tables = CovariateTables(2, arrays.max_len)
+    rng = np.random.default_rng(7)
+    for i in range(len(ds.codes)):
+        L = len(ds.codes[i])
+        err = rng.random(L) < 0.03
+        accumulate_read(tables, ds.codes[i], ds.quals[i], err,
+                        ds.rgs[i], ds.seconds[i])
+    recal = build_recal_table(tables)
+
+    got = np.asarray(apply_recal_table(
+        jnp.asarray(recal), jnp.asarray(arrays.codes),
+        jnp.asarray(arrays.quals), jnp.asarray(arrays.mask),
+        jnp.asarray(arrays.rgs), jnp.asarray(arrays.seconds)))
+
+    for i in range(len(ds.codes)):
+        codes = np.asarray(ds.codes[i], dtype=np.int64)
+        quals = np.asarray(ds.quals[i], dtype=np.int64)
+        L = len(codes)
+        skips = compute_skips(codes, quals)
+        q = np.clip(quals, 0, NUM_Q_MAX)
+        cyc = cycle_indices(L, ds.seconds[i])
+        din = dinuc_indices(codes)
+        want = recal[ds.rgs[i], q, cyc, din].astype(np.int64)
+        want = np.where(skips, quals, want)
+        assert (got[i][:L] == want).all(), f"read {i}"
+
+
+NUM_Q_MAX = 93
