@@ -1,0 +1,193 @@
+"""End-to-end device recalibration pipeline (passes P1-P4).
+
+Mirrors the reference's 4-pass control flow (SURVEY.md §4.1: subsample ->
+trusted -> covariates -> rewrite) with each pass a jitted batched program;
+Bloom/covariate state lives in HBM across batches with donated buffers
+(no copies per batch).  Bit-exact parity authority: oracle/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    DEFAULT_K,
+    DEFAULT_NUM_HASHES,
+    DEFAULT_SAMPLED_BITS_PER_KEY,
+    DEFAULT_TRUSTED_BITS_PER_KEY,
+    LIGHTER_ALPHA_NUMERATOR,
+)
+from ..io.batcher import Batch, Batcher, ReadArrays
+from ..oracle.bloom import BloomParams
+from ..oracle.gatk import build_recal_table
+from ..oracle.kmers import alpha_threshold
+from ..oracle.lighter import coverage_thresholds
+from ..ops.bloom import bloom_insert, bloom_query
+from ..ops.covariate import accumulate_covariates
+from ..ops.inference import infer_errors_batch
+from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
+from ..ops.recal import apply_recal_table
+from ..ops.trusted import trusted_mask_batch
+from ..state.bloom import BloomState
+from ..state.covariate import CovariateAccumulator
+
+
+@dataclasses.dataclass
+class RecalConfig:
+    k: int = DEFAULT_K
+    alpha: float | None = None
+    coverage: float | None = None
+    genome_length: int | None = None
+    num_hashes: int = DEFAULT_NUM_HASHES
+    sampled_bits_per_key: int = DEFAULT_SAMPLED_BITS_PER_KEY
+    trusted_bits_per_key: int = DEFAULT_TRUSTED_BITS_PER_KEY
+    trust_threshold: int | None = None
+    batch_size: int = 512
+
+    def resolve_alpha(self, total_bases: int) -> tuple[float, float]:
+        cov = self.coverage
+        if cov is None and self.genome_length:
+            cov = total_bases / self.genome_length
+        if cov is None:
+            cov = 30.0
+        alpha = self.alpha
+        if alpha is None:
+            alpha = min(1.0, LIGHTER_ALPHA_NUMERATOR / max(cov, 1.0))
+        return alpha, cov
+
+
+# --------------------------------------------------------------- jit steps
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes"),
+                   donate_argnames=("slots",))
+def _step_sample(slots, codes, read_ids, threshold, *, k, num_hashes):
+    hi, lo, valid = canonical_kmers_batch(codes, k)
+    keep = valid & sample_keep_mask(read_ids, hi.shape[1], threshold)
+    return bloom_insert(slots, hi, lo, keep, num_hashes)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes"),
+                   donate_argnames=("slots_b",))
+def _step_trusted(slots_a, slots_b, codes, t_table, *, k, num_hashes):
+    hi, lo, valid = canonical_kmers_batch(codes, k)
+    hits = bloom_query(slots_a, hi, lo, num_hashes) & valid
+    tr = trusted_mask_batch(hits, valid, t_table, k)
+    return bloom_insert(slots_b, hi, lo, tr, num_hashes)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes"),
+                   donate_argnames=("cov_state",))
+def _step_covariates(slots_b, cov_state, codes, quals, mask, rgs, seconds,
+                     *, k, num_hashes):
+    errors = infer_errors_batch(slots_b, codes, k, num_hashes)
+    return accumulate_covariates(cov_state, codes, quals, mask, rgs,
+                                 seconds, errors)
+
+
+# ---------------------------------------------------------------- pipeline
+
+class RecalPipeline:
+    """Runs P1-P4 over an iterable-of-batches source (single chip)."""
+
+    def __init__(self, config: RecalConfig, num_rg: int, max_len: int,
+                 total_bases: int, total_kmers: int):
+        self.config = config
+        self.num_rg = num_rg
+        self.max_len = max_len
+        self.alpha, self.coverage = config.resolve_alpha(total_bases)
+        self.threshold = jnp.uint32(alpha_threshold(self.alpha))
+        self.t_table = jnp.asarray(
+            coverage_thresholds(self.alpha, config.k), dtype=jnp.int32)
+        self.bloom_a = BloomState.empty(BloomParams.for_keys(
+            max(1, int(total_kmers * self.alpha)),
+            config.sampled_bits_per_key, config.num_hashes))
+        self.bloom_b = BloomState.empty(BloomParams.for_keys(
+            max(1, total_kmers), config.trusted_bits_per_key,
+            config.num_hashes))
+        self.cov = CovariateAccumulator(
+            num_rg, max_len, config.batch_size * max_len)
+        self.recal_table = None
+
+    def run_pass1(self, batches: Iterable[Batch]) -> None:
+        k, h = self.config.k, self.config.num_hashes
+        slots = self.bloom_a.slots
+        for b in batches:
+            slots = _step_sample(slots, jnp.asarray(b.codes),
+                                 jnp.asarray(b.read_ids), self.threshold,
+                                 k=k, num_hashes=h)
+        self.bloom_a = BloomState(self.bloom_a.params, slots)
+
+    def run_pass2(self, batches: Iterable[Batch]) -> None:
+        k, h = self.config.k, self.config.num_hashes
+        slots_b = self.bloom_b.slots
+        for b in batches:
+            slots_b = _step_trusted(self.bloom_a.slots, slots_b,
+                                    jnp.asarray(b.codes), self.t_table,
+                                    k=k, num_hashes=h)
+        self.bloom_b = BloomState(self.bloom_b.params, slots_b)
+
+    def run_pass3(self, batches: Iterable[Batch]) -> None:
+        k, h = self.config.k, self.config.num_hashes
+        for b in batches:
+            self.cov.device_state = _step_covariates(
+                self.bloom_b.slots, self.cov.device_state,
+                jnp.asarray(b.codes), jnp.asarray(b.quals),
+                jnp.asarray(b.mask), jnp.asarray(b.rgs),
+                jnp.asarray(b.seconds), k=k, num_hashes=h)
+            self.cov.note_batch()
+        self.cov.flush()
+
+    def compute_recal_table(self) -> np.ndarray:
+        self.recal_table = build_recal_table(self.cov.totals)
+        return self.recal_table
+
+    def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
+        recal = jnp.asarray(self.recal_table)
+        outs = []
+        for b in batches:
+            nq = apply_recal_table(recal, jnp.asarray(b.codes),
+                                   jnp.asarray(b.quals), jnp.asarray(b.mask),
+                                   jnp.asarray(b.rgs),
+                                   jnp.asarray(b.seconds))
+            outs.append(np.asarray(nq)[:b.num_real])
+        return np.concatenate(outs, axis=0) if outs else np.zeros((0, 0))
+
+
+def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
+                       start_ordinal: int = 0) -> np.ndarray:
+    """Full single-chip pipeline over in-memory arrays -> new quals [N, L]."""
+    k = config.k
+    lens = arrays.mask.sum(axis=1)
+    total_bases = int(lens.sum())
+    total_kmers = int(np.maximum(lens - k + 1, 0).sum())
+    num_rg = int(arrays.rgs.max(initial=0)) + 1
+    pipe = RecalPipeline(config, num_rg, arrays.max_len, total_bases,
+                         total_kmers)
+    mk = lambda: Batcher(arrays, config.batch_size, start_ordinal)
+    pipe.run_pass1(mk())
+    pipe.run_pass2(mk())
+    pipe.run_pass3(mk())
+    pipe.compute_recal_table()
+    return pipe.run_pass4(mk())
+
+
+def recalibrate_fastq(in_path: str, out_path, config: RecalConfig) -> dict:
+    """FASTQ -> FASTQ recalibration (the reference CLI's main flow)."""
+    from ..io.fastq import extract_padded_arrays, read_fastq, \
+        write_fastq_with_quals
+
+    fq = read_fastq(in_path)
+    codes, quals, mask, lens = extract_padded_arrays(fq)
+    arrays = ReadArrays(codes, quals, mask,
+                        np.zeros(fq.num_reads, np.int32),
+                        fq.seconds_mask())
+    new_quals = recalibrate_arrays(arrays, config)
+    write_fastq_with_quals(fq, new_quals, mask, out_path)
+    return {"num_reads": fq.num_reads,
+            "total_bases": int(mask.sum())}

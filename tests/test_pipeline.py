@@ -1,0 +1,108 @@
+"""End-to-end parity: device pipeline vs oracle, byte-for-byte.
+
+This is the integration test of SURVEY.md §5.3: FASTQ->FASTQ equality
+between the NumPy oracle and the JAX pipeline, plus invariance tests
+(determinism, batch-size independence).
+"""
+
+import numpy as np
+import pytest
+
+from kbbq_tpu.io.batcher import ReadArrays
+from kbbq_tpu.io.fastq import (
+    extract_padded_arrays,
+    parse_fastq_bytes,
+    write_fastq_with_quals,
+)
+from kbbq_tpu.oracle import OracleConfig, recalibrate_reads
+from kbbq_tpu.oracle.pipeline import ReadBatch
+from kbbq_tpu.pipeline import RecalConfig, recalibrate_arrays, recalibrate_fastq
+from kbbq_tpu.utils.synth import make_dataset, to_fastq_bytes
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return make_dataset(genome_len=1200, read_len=60, coverage=25.0,
+                        error_rate=0.02, seed=21, num_rg=2, paired=True,
+                        n_rate=0.01)
+
+
+@pytest.fixture(scope="module")
+def oracle_quals(ds):
+    batch = ReadBatch(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    cfg = OracleConfig(k=16, coverage=25.0)
+    quals, _ = recalibrate_reads(batch, cfg)
+    return quals
+
+
+def _device_quals(ds, batch_size):
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=batch_size)
+    return recalibrate_arrays(arrays, cfg), arrays
+
+
+def test_device_matches_oracle_bitforbit(ds, oracle_quals):
+    got, arrays = _device_quals(ds, batch_size=64)
+    assert got.shape[0] == len(oracle_quals)
+    for i, want in enumerate(oracle_quals):
+        L = want.size
+        assert (got[i][:L].astype(np.int64) == want).all(), f"read {i}"
+
+
+def test_device_batch_size_invariance(ds):
+    q1, _ = _device_quals(ds, batch_size=32)
+    q2, _ = _device_quals(ds, batch_size=173)
+    assert (q1 == q2).all()
+
+
+def test_device_deterministic(ds):
+    q1, _ = _device_quals(ds, batch_size=64)
+    q2, _ = _device_quals(ds, batch_size=64)
+    assert (q1 == q2).all()
+
+
+def test_fastq_roundtrip_only_quals_change(tmp_path, ds, oracle_quals):
+    fq_bytes = to_fastq_bytes(ds)
+    in_path = tmp_path / "in.fq"
+    out_path = tmp_path / "out.fq"
+    in_path.write_bytes(fq_bytes)
+
+    # note: synth names carry no /2 suffix, so the FASTQ path treats all
+    # reads as first-in-pair and as one read group — rerun oracle to match
+    batch = ReadBatch(ds.codes, ds.quals, [0] * len(ds.codes),
+                      [False] * len(ds.codes))
+    want_quals, _ = recalibrate_reads(batch, OracleConfig(k=16, coverage=25.0))
+
+    stats = recalibrate_fastq(str(in_path), str(out_path),
+                              RecalConfig(k=16, coverage=25.0, batch_size=64))
+    assert stats["num_reads"] == len(ds.codes)
+
+    out_fq = parse_fastq_bytes(out_path.read_bytes())
+    in_fq = parse_fastq_bytes(fq_bytes)
+    assert out_fq.num_reads == in_fq.num_reads
+    for i in range(out_fq.num_reads):
+        assert out_fq.name_bytes(i) == in_fq.name_bytes(i)
+        assert out_fq.seq_bytes(i) == in_fq.seq_bytes(i)
+        got_q = np.frombuffer(out_fq.qual_bytes(i), np.uint8).astype(int) - 33
+        assert (got_q == want_quals[i]).all(), f"read {i}"
+
+
+def test_fastq_parse_errors():
+    with pytest.raises(ValueError, match="multiple of 4"):
+        parse_fastq_bytes(b"@r1\nACGT\n+\n")
+    with pytest.raises(ValueError, match="header"):
+        parse_fastq_bytes(b"r1\nACGT\n+\nFFFF\n")
+    with pytest.raises(ValueError, match="length mismatch"):
+        parse_fastq_bytes(b"@r1\nACGT\n+\nFFF\n")
+
+
+def test_write_fastq_preserves_non_qual_bytes(tmp_path):
+    data = b"@r1 comment here\nACGTN\n+\nFF:FF\n@r2/2\nGGGG\n+\n!!!!\n"
+    fq = parse_fastq_bytes(data)
+    codes, quals, mask, lens = extract_padded_arrays(fq)
+    assert fq.seconds_mask().tolist() == [False, True]
+    new_q = np.where(mask, 40, 0)
+    out = tmp_path / "o.fq"
+    write_fastq_with_quals(fq, new_q, mask, str(out))
+    got = out.read_bytes()
+    assert got == b"@r1 comment here\nACGTN\n+\nIIIII\n@r2/2\nGGGG\n+\nIIII\n"
