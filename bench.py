@@ -1,0 +1,83 @@
+"""Headline benchmark: reads/s/chip for the full k-mer-count + recalibrate
+pipeline on an E.-coli-scale synthetic dataset (BASELINE.md config 2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 62.5e6 — the per-chip share of the driver's
+1 Greads/s-on-16-chips aggregate target (BASELINE.json north star; the
+reference publishes no throughput numbers).
+
+Runs on whatever jax.devices() offers (the real TPU chip under the
+driver).  Use --quick for a smaller dataset, --reads/--len to override.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
+    import jax
+    import numpy as np
+
+    from kbbq_tpu.pipeline import RecalConfig
+    from kbbq_tpu.pipeline.recalibrate import recalibrate_arrays
+    from kbbq_tpu.utils.synth import make_arrays_fast
+
+    dev = jax.devices()[0]
+    coverage = 50.0
+    genome_len = max(1000, int(num_reads * read_len / coverage))
+    arrays, _ = make_arrays_fast(
+        genome_len=genome_len, read_len=read_len, num_reads=num_reads,
+        error_rate=0.005, seed=0)
+    cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size)
+
+    # warm-up: compile every pass on a small prefix (cached thereafter)
+    warm_n = min(4 * batch_size, num_reads)
+    warm = type(arrays)(arrays.codes[:warm_n], arrays.quals[:warm_n],
+                        arrays.mask[:warm_n], arrays.rgs[:warm_n],
+                        arrays.seconds[:warm_n])
+    recalibrate_arrays(warm, cfg)
+
+    t0 = time.time()
+    out = recalibrate_arrays(arrays, cfg)
+    out = np.asarray(out)
+    dt = time.time() - t0
+
+    rps = num_reads / dt
+    return {
+        "metric": "reads_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s/chip (full 4-pass recalibrate)",
+        "vs_baseline": round(rps / 62.5e6, 6),
+        "detail": {
+            "device": str(dev),
+            "num_reads": num_reads,
+            "read_len": read_len,
+            "k": k,
+            "batch_size": batch_size,
+            "wall_s": round(dt, 3),
+            "bases_per_sec": round(num_reads * read_len / dt, 1),
+        },
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=400_000)
+    ap.add_argument("--len", type=int, default=150, dest="read_len")
+    ap.add_argument("-k", type=int, default=32)
+    ap.add_argument("--batch-size", type=int, default=8192)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    if args.quick:
+        args.reads = 50_000
+    result = run(args.reads, args.read_len, args.k, args.batch_size)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

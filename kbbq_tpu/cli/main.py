@@ -1,0 +1,110 @@
+"""Argument parsing + subcommand dispatch.
+
+Reference analog: src/kbbq/main.cc (getopt) and kbbq/main.py (argparse)
+(SURVEY.md §3 C1/P1; mount empty, §0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ..constants import DEFAULT_K
+
+
+def _add_recal_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("input", help="input FASTQ (.fq[.gz]) or BAM")
+    p.add_argument("-o", "--output", default="-",
+                   help="output path (default stdout)")
+    p.add_argument("-k", "--kmer-size", type=int, default=DEFAULT_K,
+                   help=f"k-mer size, <=32 (default {DEFAULT_K})")
+    p.add_argument("-g", "--genome-length", type=int, default=None,
+                   help="genome length; coverage = total_bases / g")
+    p.add_argument("-c", "--coverage", type=float, default=None,
+                   help="sequencing coverage (overrides -g derivation)")
+    p.add_argument("-a", "--alpha", type=float, default=None,
+                   help="k-mer sampling rate (default 7/coverage)")
+    p.add_argument("-u", "--use-oq", action="store_true",
+                   help="BAM: read base qualities from the OQ tag")
+    p.add_argument("-s", "--set-oq", action="store_true",
+                   help="BAM: store original qualities into the OQ tag")
+    p.add_argument("--batch-size", type=int, default=2048,
+                   help="reads per device batch")
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of devices to use (default: all)")
+
+
+def cmd_recalibrate(args) -> int:
+    from ..pipeline import RecalConfig
+
+    cfg = RecalConfig(
+        k=args.kmer_size, alpha=args.alpha, coverage=args.coverage,
+        genome_length=args.genome_length, batch_size=args.batch_size)
+    out = sys.stdout.buffer if args.output == "-" else args.output
+    t0 = time.time()
+    if args.input.endswith((".bam", ".sam")):
+        from ..pipeline.bam import recalibrate_bam
+        stats = recalibrate_bam(args.input, out, cfg,
+                                use_oq=args.use_oq, set_oq=args.set_oq)
+    else:
+        from ..pipeline import recalibrate_fastq
+        stats = recalibrate_fastq(args.input, out, cfg)
+    dt = time.time() - t0
+    print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
+          f"({stats['total_bases']} bases) in {dt:.2f}s "
+          f"({stats['num_reads'] / max(dt, 1e-9):.0f} reads/s)",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_benchmark(args) -> int:
+    from ..benchmark import benchmark_to_tsv
+    return benchmark_to_tsv(args)
+
+
+def cmd_plot(args) -> int:
+    from ..plot import plot_benchmark
+    plot_benchmark(args.input, args.output)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="kbbq-tpu",
+        description="TPU-native reference-free base quality recalibration")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pr = sub.add_parser("recalibrate", help="recalibrate FASTQ/BAM qualities")
+    _add_recal_args(pr)
+    pr.set_defaults(fn=cmd_recalibrate)
+
+    pb = sub.add_parser(
+        "benchmark",
+        help="measure actual per-quality error rates from aligned reads")
+    pb.add_argument("-b", "--bam", required=True,
+                    help="aligned, coordinate-sorted BAM")
+    pb.add_argument("-r", "--reference", required=True,
+                    help="reference FASTA")
+    pb.add_argument("-v", "--vcf", required=True,
+                    help="VCF of variable sites to exclude")
+    pb.add_argument("-f", "--fastq", default=None,
+                    help="optional recalibrated FASTQ to score instead")
+    pb.add_argument("-l", "--label", default="kbbq-tpu")
+    pb.add_argument("-o", "--output", default="-")
+    pb.set_defaults(fn=cmd_benchmark)
+
+    pp = sub.add_parser("plot", help="plot calibration curves")
+    pp.add_argument("input", help="benchmark TSV")
+    pp.add_argument("output", help="output image (pdf/png)")
+    pp.set_defaults(fn=cmd_plot)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

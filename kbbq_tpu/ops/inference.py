@@ -28,7 +28,13 @@ from .bloom import bloom_query
 from .kmers import canonical_kmers_batch
 
 _i32 = jnp.int32
-_COMP = jnp.array([3, 2, 1, 0, 4], dtype=jnp.int8)  # complement; N fixed
+
+
+def _complement(x: jax.Array) -> jax.Array:
+    """Base complement, N (4) fixed.  Arithmetic on purpose: a gather from
+    a module-level constant table here makes the axon TPU plugin's MLIR
+    lowering pathologically slow (>400s measured for this one op)."""
+    return jnp.where(x < 4, 3 - x, x).astype(jnp.int8)
 
 
 def _leading_true(x: jax.Array) -> jax.Array:
@@ -151,7 +157,7 @@ def infer_errors_batch(slots: jax.Array, codes: jax.Array, k: int,
                               rev_ties=False)
 
         # leftward walk == rightward walk on the reverse complement
-        rc = _COMP[work_pad[:L]][::-1]
+        rc = _complement(work_pad[:L])[::-1]
         rc_pad = jnp.concatenate([rc, pad])
         rc_err = jnp.zeros(L, dtype=bool)
         j0_rc = jnp.where(active, n - a, n)

@@ -1,0 +1,239 @@
+"""Sharded pass steps: shard_map over the reads axis.
+
+Layout (SURVEY.md §3.3 table):
+
+- batch arrays [B, L]: sharded on axis 0 (reads axis), B % D == 0 (the
+  batcher always emits full fixed-size batches).
+- Bloom filters during an INSERT pass: [D, m] — one replica per device,
+  each device scatter-sets only its read shard; replicas are merged once
+  at the pass boundary with an all-reduce max (scatter-set commutes, so
+  the merged filter is bit-identical to the single-chip one).
+- Bloom filters during a QUERY pass: [m] replicated (read-only gathers).
+- covariate tables: [D, ...] per-device partials, summed at flush
+  (integer adds commute -> shard-count invariant, SURVEY.md H5).
+
+Sampling keys on global read ordinals carried in the batch, so the sampled
+set is independent of D by construction (DECISIONS.md D5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.batcher import Batch, Batcher, ReadArrays
+from ..oracle.bloom import BloomParams
+from ..oracle.gatk import build_recal_table
+from ..oracle.kmers import alpha_threshold
+from ..oracle.lighter import coverage_thresholds
+from ..ops.bloom import bloom_insert, bloom_query
+from ..ops.covariate import accumulate_covariates, new_covariate_state
+from ..ops.inference import infer_errors_batch
+from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
+from ..ops.recal import apply_recal_table
+from ..ops.trusted import trusted_mask_batch
+from ..pipeline.recalibrate import RecalConfig
+from ..state.covariate import CovariateAccumulator
+from .mesh import READS_AXIS, make_mesh
+
+R = READS_AXIS
+
+
+def _shmap(mesh, in_specs, out_specs):
+    return functools.partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+
+def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
+    """jitted sharded step functions bound to a mesh."""
+
+    @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+    @_shmap(mesh,
+            in_specs=(P(R, None), P(R, None), P(R), P()),
+            out_specs=P(R, None))
+    def step_sample(slots_dm, codes, read_ids, threshold):
+        hi, lo, valid = canonical_kmers_batch(codes, k)
+        keep = valid & sample_keep_mask(read_ids, hi.shape[1], threshold)
+        return bloom_insert(slots_dm[0], hi, lo, keep, num_hashes)[None]
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    @_shmap(mesh,
+            in_specs=(P(), P(R, None), P(R, None), P()),
+            out_specs=P(R, None))
+    def step_trusted(slots_a, slots_b_dm, codes, t_table):
+        hi, lo, valid = canonical_kmers_batch(codes, k)
+        hits = bloom_query(slots_a, hi, lo, num_hashes) & valid
+        tr = trusted_mask_batch(hits, valid, t_table, k)
+        return bloom_insert(slots_b_dm[0], hi, lo, tr, num_hashes)[None]
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    @_shmap(mesh,
+            in_specs=(P(), {k_: P(R, *([None] * 3)) for k_ in
+                            ("cyc_total", "cyc_errors",
+                             "din_total", "din_errors")},
+                      P(R, None), P(R, None), P(R, None), P(R), P(R)),
+            out_specs={k_: P(R, *([None] * 3)) for k_ in
+                       ("cyc_total", "cyc_errors",
+                        "din_total", "din_errors")})
+    def step_covariates(slots_b, cov_dm, codes, quals, mask, rgs, seconds):
+        errors = infer_errors_batch(slots_b, codes, k, num_hashes)
+        local = {kk: v[0] for kk, v in cov_dm.items()}
+        out = accumulate_covariates(local, codes, quals, mask, rgs,
+                                    seconds, errors)
+        return {kk: v[None] for kk, v in out.items()}
+
+    @jax.jit
+    @_shmap(mesh,
+            in_specs=(P(), P(R, None), P(R, None), P(R, None), P(R), P(R)),
+            out_specs=P(R, None))
+    def step_recal(recal, codes, quals, mask, rgs, seconds):
+        return apply_recal_table(recal, codes, quals, mask, rgs, seconds)
+
+    @jax.jit
+    def merge_bloom(slots_dm):
+        # all-reduce max over the replica axis -> replicated [m]
+        merged = jnp.max(slots_dm, axis=0)
+        return jax.lax.with_sharding_constraint(
+            merged, NamedSharding(mesh, P()))
+
+    return {
+        "sample": step_sample,
+        "trusted": step_trusted,
+        "covariates": step_covariates,
+        "recal": step_recal,
+        "merge_bloom": merge_bloom,
+    }
+
+
+class ShardedRecalPipeline:
+    """P1-P4 over a 1-D mesh; bit-identical to the single-chip pipeline."""
+
+    def __init__(self, config: RecalConfig, num_rg: int, max_len: int,
+                 total_bases: int, total_kmers: int, mesh: Mesh | None = None):
+        self.mesh = mesh or make_mesh()
+        self.D = self.mesh.devices.size
+        if config.batch_size % self.D:
+            raise ValueError(
+                f"batch_size {config.batch_size} not divisible by "
+                f"{self.D} devices")
+        self.config = config
+        self.num_rg = num_rg
+        self.max_len = max_len
+        self.alpha, self.coverage = config.resolve_alpha(total_bases)
+        self.threshold = jnp.uint32(alpha_threshold(self.alpha))
+        self.t_table = self._replicate(jnp.asarray(
+            coverage_thresholds(self.alpha, config.k), dtype=jnp.int32))
+        self.params_a = BloomParams.for_keys(
+            max(1, int(total_kmers * self.alpha)),
+            config.sampled_bits_per_key, config.num_hashes)
+        self.params_b = BloomParams.for_keys(
+            max(1, total_kmers), config.trusted_bits_per_key,
+            config.num_hashes)
+        self.steps = build_sharded_steps(self.mesh, config.k,
+                                         config.num_hashes)
+        self.cov = CovariateAccumulator(
+            num_rg, max_len, config.batch_size * max_len)
+        # device covariate state is [D, ...] sharded on the replica axis
+        self.cov_dm = self._dev_tables()
+        self.bloom_a_merged = None
+        self.bloom_b_merged = None
+        self.recal_table = None
+
+    # ----------------------------------------------------------- helpers
+    def _replicate(self, x):
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
+
+    def _shard_rows(self, x):
+        spec = P(R, *([None] * (x.ndim - 1)))
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, spec))
+
+    def _dev_tables(self):
+        base = new_covariate_state(self.num_rg, self.max_len)
+        return {kk: self._shard_rows(
+            jnp.zeros((self.D,) + v.shape, v.dtype))
+            for kk, v in base.items()}
+
+    def _empty_replicas(self, params: BloomParams):
+        return self._shard_rows(
+            jnp.zeros((self.D, params.m), dtype=jnp.uint8))
+
+    def _put_batch(self, b: Batch):
+        return (self._shard_rows(b.codes), self._shard_rows(b.quals),
+                self._shard_rows(b.mask), self._shard_rows(b.rgs),
+                self._shard_rows(b.seconds), self._shard_rows(b.read_ids))
+
+    # ------------------------------------------------------------ passes
+    def run_pass1(self, batches: Iterable[Batch]) -> None:
+        slots_dm = self._empty_replicas(self.params_a)
+        for b in batches:
+            codes, _, _, _, _, rids = self._put_batch(b)
+            slots_dm = self.steps["sample"](slots_dm, codes, rids,
+                                            self.threshold)
+        self.bloom_a_merged = self.steps["merge_bloom"](slots_dm)
+
+    def run_pass2(self, batches: Iterable[Batch]) -> None:
+        slots_dm = self._empty_replicas(self.params_b)
+        for b in batches:
+            codes, *_ = self._put_batch(b)
+            slots_dm = self.steps["trusted"](self.bloom_a_merged, slots_dm,
+                                             codes, self.t_table)
+        self.bloom_b_merged = self.steps["merge_bloom"](slots_dm)
+
+    def run_pass3(self, batches: Iterable[Batch]) -> None:
+        epoch = 0
+        for b in batches:
+            codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
+            self.cov_dm = self.steps["covariates"](
+                self.bloom_b_merged, self.cov_dm, codes, quals, mask,
+                rgs, seconds)
+            epoch += 1
+            if epoch >= self.cov.flush_every:
+                self._flush_cov()
+                epoch = 0
+        self._flush_cov()
+
+    def _flush_cov(self) -> None:
+        s = {kk: np.asarray(v, dtype=np.int64).sum(axis=0)
+             for kk, v in self.cov_dm.items()}
+        self.cov.totals.cyc_total += s["cyc_total"]
+        self.cov.totals.cyc_errors += s["cyc_errors"]
+        self.cov.totals.din_total += s["din_total"]
+        self.cov.totals.din_errors += s["din_errors"]
+        self.cov_dm = self._dev_tables()
+
+    def compute_recal_table(self) -> np.ndarray:
+        self.recal_table = build_recal_table(self.cov.totals)
+        return self.recal_table
+
+    def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
+        recal = self._replicate(jnp.asarray(self.recal_table))
+        outs = []
+        for b in batches:
+            codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
+            nq = self.steps["recal"](recal, codes, quals, mask, rgs, seconds)
+            outs.append(np.asarray(nq)[:b.num_real])
+        return np.concatenate(outs, axis=0) if outs else np.zeros((0, 0))
+
+
+def sharded_recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
+                               mesh: Mesh | None = None,
+                               start_ordinal: int = 0) -> np.ndarray:
+    k = config.k
+    lens = arrays.mask.sum(axis=1)
+    total_bases = int(lens.sum())
+    total_kmers = int(np.maximum(lens - k + 1, 0).sum())
+    num_rg = int(arrays.rgs.max(initial=0)) + 1
+    pipe = ShardedRecalPipeline(config, num_rg, arrays.max_len, total_bases,
+                                total_kmers, mesh)
+    mk = lambda: Batcher(arrays, config.batch_size, start_ordinal)
+    pipe.run_pass1(mk())
+    pipe.run_pass2(mk())
+    pipe.run_pass3(mk())
+    pipe.compute_recal_table()
+    return pipe.run_pass4(mk())

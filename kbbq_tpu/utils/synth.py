@@ -70,6 +70,40 @@ def make_dataset(
     return SynthDataset(genome, codes, quals, rgs, seconds, true_errors, names)
 
 
+def make_arrays_fast(
+    genome_len: int = 4_600_000,
+    read_len: int = 150,
+    num_reads: int = 1_000_000,
+    error_rate: float = 0.005,
+    seed: int = 0,
+    num_rg: int = 1,
+    paired: bool = True,
+):
+    """Fully vectorized large-scale generator -> (ReadArrays, true_errors).
+
+    Used by bench.py for E.-coli-scale datasets (SURVEY.md §7 configs);
+    no per-read Python loop.
+    """
+    from ..io.batcher import ReadArrays
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=genome_len, dtype=np.int8)
+    starts = rng.integers(0, genome_len - read_len + 1, size=num_reads)
+    idx = starts[:, None] + np.arange(read_len)
+    codes = genome[idx]
+    quals = rng.choice(np.array([12, 20, 28, 37], dtype=np.int8),
+                       size=(num_reads, read_len),
+                       p=[0.1, 0.2, 0.3, 0.4])
+    err = rng.random((num_reads, read_len)) < error_rate
+    sub = (codes + rng.integers(1, 4, size=codes.shape)) % 4
+    codes = np.where(err, sub, codes).astype(np.int8)
+    mask = np.ones((num_reads, read_len), dtype=bool)
+    rgs = (np.arange(num_reads) % num_rg).astype(np.int32)
+    seconds = ((np.arange(num_reads) % 2 == 1) & paired)
+    arrays = ReadArrays(codes, quals, mask, rgs, seconds)
+    return arrays, err
+
+
 def to_fastq_bytes(ds: SynthDataset) -> bytes:
     """Render the dataset as an uncompressed FASTQ byte string."""
     from ..oracle.kmers import decode_seq

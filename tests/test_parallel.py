@@ -1,0 +1,42 @@
+"""Shard-invariance tests (SURVEY.md §5.4): output must be bit-identical
+for 1, 2 and 8 device shards, and identical to the single-chip pipeline."""
+
+import numpy as np
+import pytest
+
+from kbbq_tpu.io.batcher import ReadArrays
+from kbbq_tpu.parallel import make_mesh, sharded_recalibrate_arrays
+from kbbq_tpu.pipeline import RecalConfig, recalibrate_arrays
+from kbbq_tpu.utils.synth import make_dataset
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    ds = make_dataset(genome_len=800, read_len=50, coverage=20.0,
+                      error_rate=0.02, seed=31, num_rg=2, paired=True,
+                      n_rate=0.01)
+    return ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+
+
+@pytest.fixture(scope="module")
+def single_chip_quals(arrays):
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    return recalibrate_arrays(arrays, cfg)
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_sharded_matches_single_chip(arrays, single_chip_quals, ndev):
+    import jax
+    assert jax.device_count() >= ndev, "conftest should give 8 CPU devices"
+    mesh = make_mesh(ndev)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    got = sharded_recalibrate_arrays(arrays, cfg, mesh=mesh)
+    assert got.shape == single_chip_quals.shape
+    assert (got == single_chip_quals).all()
+
+
+def test_batch_size_must_divide_devices(arrays):
+    mesh = make_mesh(8)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=63)
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_recalibrate_arrays(arrays, cfg, mesh=mesh)
