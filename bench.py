@@ -18,6 +18,11 @@ import sys
 import time
 
 
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
     import jax
     import numpy as np
@@ -27,24 +32,43 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
     from kbbq_tpu.utils.synth import make_arrays_fast
 
     dev = jax.devices()[0]
+    _log(f"device: {dev}")
     coverage = 50.0
     genome_len = max(1000, int(num_reads * read_len / coverage))
     arrays, _ = make_arrays_fast(
         genome_len=genome_len, read_len=read_len, num_reads=num_reads,
         error_rate=0.005, seed=0)
     cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size)
+    _log(f"data ready: {num_reads} reads x {read_len}bp")
 
-    # warm-up: compile every pass on a small prefix (cached thereafter)
-    warm_n = min(4 * batch_size, num_reads)
-    warm = type(arrays)(arrays.codes[:warm_n], arrays.quals[:warm_n],
-                        arrays.mask[:warm_n], arrays.rgs[:warm_n],
-                        arrays.seconds[:warm_n])
-    recalibrate_arrays(warm, cfg)
+    # warm-up: full run on the SAME arrays so every jit signature (incl.
+    # the data-dependent Bloom sizes) is compiled before timing
+    recalibrate_arrays(arrays, cfg)
+    _log("warm-up (compile) done")
 
+    from kbbq_tpu.io.batcher import Batcher
+    from kbbq_tpu.pipeline.recalibrate import RecalPipeline
+
+    lens = arrays.mask.sum(axis=1)
+    pipe = RecalPipeline(cfg, 1, arrays.max_len, int(lens.sum()),
+                         int(np.maximum(lens - k + 1, 0).sum()))
+    mk = lambda: Batcher(arrays, cfg.batch_size)
     t0 = time.time()
-    out = recalibrate_arrays(arrays, cfg)
-    out = np.asarray(out)
+    pass_times = {}
+    for name, fn in [("pass1", lambda: pipe.run_pass1(mk())),
+                     ("pass2", lambda: pipe.run_pass2(mk())),
+                     ("pass3", lambda: pipe.run_pass3(mk())),
+                     ("deltas", pipe.compute_recal_table)]:
+        tp = time.time()
+        fn()
+        pass_times[name] = round(time.time() - tp, 3)
+        _log(f"{name} done in {pass_times[name]}s")
+    tp = time.time()
+    out = pipe.run_pass4(mk())
+    pass_times["pass4"] = round(time.time() - tp, 3)
+    _log(f"pass4 done in {pass_times['pass4']}s")
     dt = time.time() - t0
+    _log(f"timed run done in {dt:.2f}s")
 
     rps = num_reads / dt
     return {
@@ -60,6 +84,7 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
             "batch_size": batch_size,
             "wall_s": round(dt, 3),
             "bases_per_sec": round(num_reads * read_len / dt, 1),
+            "pass_times_s": pass_times,
         },
     }
 

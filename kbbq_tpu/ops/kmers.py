@@ -37,16 +37,18 @@ def fmix32(x: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def canonical_kmers_batch(codes: jax.Array, k: int):
-    """Canonical k-mers for every window of every read.
+def kmer_lanes_batch(codes: jax.Array, k: int):
+    """Raw forward/RC lane pairs for every window of every read.
 
     Args:
       codes: int8 [B, L] base codes (4 = N/pad).
       k: static k-mer size (<= 32).
     Returns:
-      (hi, lo, valid): uint32/uint32/bool [B, n] with n = L-k+1.
+      (fhi, flo, rhi, rlo, valid): uint32 x4 + bool, each [B, n], n = L-k+1.
+      Lane values of invalid windows are unspecified (scan resets on N).
 
-    Matches oracle canonical_kmers exactly (incl. lane reset on N).
+    The fast inference kernel patches these lanes in place on substitution
+    (O(1) per window) instead of re-rolling the window (O(k)).
     """
     B, L = codes.shape
     n = L - k + 1
@@ -81,17 +83,34 @@ def canonical_kmers_batch(codes: jax.Array, k: int):
         nrh = jnp.where(valid, nrh, z)
         nrl = jnp.where(valid, nrl, z)
         nrun = jnp.where(valid, run + 1, 0)
-        fwd_le = (nfh < nrh) | ((nfh == nrh) & (nfl <= nrl))
-        out_hi = jnp.where(fwd_le, nfh, nrh)
-        out_lo = jnp.where(fwd_le, nfl, nrl)
         out_valid = nrun >= k
-        return (nfh, nfl, nrh, nrl, nrun), (out_hi, out_lo, out_valid)
+        return ((nfh, nfl, nrh, nrl, nrun),
+                (nfh, nfl, nrh, nrl, out_valid))
 
     z = jnp.zeros((B,), dtype=_u32)
     init = (z, z, z, z, jnp.zeros((B,), dtype=jnp.int32))
-    _, (hi, lo, valid) = jax.lax.scan(step, init, codes.T)
+    _, (fhi, flo, rhi, rlo, valid) = jax.lax.scan(step, init, codes.T)
     # emitted at step i describes window j = i-k+1
-    return (hi[k - 1:].T, lo[k - 1:].T, valid[k - 1:].T)
+    return (fhi[k - 1:].T, flo[k - 1:].T, rhi[k - 1:].T, rlo[k - 1:].T,
+            valid[k - 1:].T)
+
+
+def canonical_from_lanes(fhi, flo, rhi, rlo):
+    """min(forward, rc) by (hi, lo) unsigned compare (oracle D2)."""
+    fwd_le = (fhi < rhi) | ((fhi == rhi) & (flo <= rlo))
+    return jnp.where(fwd_le, fhi, rhi), jnp.where(fwd_le, flo, rlo)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def canonical_kmers_batch(codes: jax.Array, k: int):
+    """Canonical k-mers for every window of every read.
+
+    Returns (hi, lo, valid): uint32/uint32/bool [B, n] with n = L-k+1.
+    Matches oracle canonical_kmers exactly.
+    """
+    fhi, flo, rhi, rlo, valid = kmer_lanes_batch(codes, k)
+    hi, lo = canonical_from_lanes(fhi, flo, rhi, rlo)
+    return hi, lo, valid
 
 
 def kmer_hashes(hi: jax.Array, lo: jax.Array):

@@ -30,7 +30,7 @@ from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_insert, bloom_query
 from ..ops.covariate import accumulate_covariates
-from ..ops.inference import infer_errors_batch
+from ..ops.inference import infer_errors_chunked
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table
 from ..ops.trusted import trusted_mask_batch
@@ -81,13 +81,10 @@ def _step_trusted(slots_a, slots_b, codes, t_table, *, k, num_hashes):
     return bloom_insert(slots_b, hi, lo, tr, num_hashes)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_hashes"),
-                   donate_argnames=("cov_state",))
-def _step_covariates(slots_b, cov_state, codes, quals, mask, rgs, seconds,
-                     *, k, num_hashes):
-    errors = infer_errors_batch(slots_b, codes, k, num_hashes)
-    return accumulate_covariates(cov_state, codes, quals, mask, rgs,
-                                 seconds, errors)
+# accumulate with donated tables; error inference goes through the
+# chunked wrapper (WALK_CHUNK-wide async dispatches, no host syncs —
+# sync latency through the axon tunnel dominates otherwise)
+_accumulate_donated = jax.jit(accumulate_covariates, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------- pipeline
@@ -135,11 +132,12 @@ class RecalPipeline:
     def run_pass3(self, batches: Iterable[Batch]) -> None:
         k, h = self.config.k, self.config.num_hashes
         for b in batches:
-            self.cov.device_state = _step_covariates(
-                self.bloom_b.slots, self.cov.device_state,
-                jnp.asarray(b.codes), jnp.asarray(b.quals),
+            codes = jnp.asarray(b.codes)
+            errors = infer_errors_chunked(self.bloom_b.slots, codes, k, h)
+            self.cov.device_state = _accumulate_donated(
+                self.cov.device_state, codes, jnp.asarray(b.quals),
                 jnp.asarray(b.mask), jnp.asarray(b.rgs),
-                jnp.asarray(b.seconds), k=k, num_hashes=h)
+                jnp.asarray(b.seconds), errors)
             self.cov.note_batch()
         self.cov.flush()
 
@@ -149,14 +147,18 @@ class RecalPipeline:
 
     def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
         recal = jnp.asarray(self.recal_table)
-        outs = []
+        outs, reals = [], []
         for b in batches:
             nq = apply_recal_table(recal, jnp.asarray(b.codes),
                                    jnp.asarray(b.quals), jnp.asarray(b.mask),
                                    jnp.asarray(b.rgs),
                                    jnp.asarray(b.seconds))
-            outs.append(np.asarray(nq)[:b.num_real])
-        return np.concatenate(outs, axis=0) if outs else np.zeros((0, 0))
+            outs.append(nq)       # async; sync once at the end
+            reals.append(b.num_real)
+        if not outs:
+            return np.zeros((0, 0))
+        return np.concatenate(
+            [np.asarray(o)[:r] for o, r in zip(outs, reals)], axis=0)
 
 
 def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,

@@ -164,6 +164,25 @@ def test_infer_errors_matches_oracle():
     assert not mismatches, f"reads disagree: {mismatches[:10]}"
 
 
+def test_infer_errors_compact_matches_plain():
+    from kbbq_tpu.ops.inference import infer_errors_compact
+    k, alpha = 16, 7.0 / 30.0
+    ds = make_dataset(genome_len=1500, read_len=60, coverage=30.0,
+                      error_rate=0.03, seed=23, n_rate=0.01)
+    _, bloom_b = _build_filters(ds, k, alpha)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    slots = jnp.asarray(bloom_b.slots)
+    codes = jnp.asarray(arrays.codes)
+    plain = np.asarray(infer_errors_batch(slots, codes, k, 7))
+    compact = np.asarray(infer_errors_compact(slots, codes, k, 7,
+                                              min_bucket=32))
+    assert (plain == compact).all()
+    # empty-filter corner: no anchors anywhere -> all-zero fast path
+    empty = jnp.zeros_like(slots)
+    got = np.asarray(infer_errors_compact(empty, codes, k, 7))
+    assert not got.any()
+
+
 def test_infer_errors_edge_shapes():
     """Pads, reads < k, all-N reads: no errors marked, no crashes."""
     k = 16
