@@ -164,8 +164,8 @@ def test_infer_errors_matches_oracle():
     assert not mismatches, f"reads disagree: {mismatches[:10]}"
 
 
-def test_infer_errors_compact_matches_plain():
-    from kbbq_tpu.ops.inference import infer_errors_compact
+def test_infer_errors_chunked_matches_plain():
+    from kbbq_tpu.ops.inference import infer_errors_chunked
     k, alpha = 16, 7.0 / 30.0
     ds = make_dataset(genome_len=1500, read_len=60, coverage=30.0,
                       error_rate=0.03, seed=23, n_rate=0.01)
@@ -174,12 +174,11 @@ def test_infer_errors_compact_matches_plain():
     slots = jnp.asarray(bloom_b.slots)
     codes = jnp.asarray(arrays.codes)
     plain = np.asarray(infer_errors_batch(slots, codes, k, 7))
-    compact = np.asarray(infer_errors_compact(slots, codes, k, 7,
-                                              min_bucket=32))
-    assert (plain == compact).all()
-    # empty-filter corner: no anchors anywhere -> all-zero fast path
+    chunked = np.asarray(infer_errors_chunked(slots, codes, k, 7, chunk=32))
+    assert (plain == chunked).all()
+    # empty-filter corner: no anchors anywhere -> nothing marked
     empty = jnp.zeros_like(slots)
-    got = np.asarray(infer_errors_compact(empty, codes, k, 7))
+    got = np.asarray(infer_errors_batch(empty, codes, k, 7))
     assert not got.any()
 
 
