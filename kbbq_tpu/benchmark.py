@@ -1,0 +1,180 @@
+"""`kbbq-tpu benchmark`: measure ACTUAL per-quality error rates.
+
+Reference analog: kbbq/benchmark.py (SURVEY.md §3.2 P7, §4.4; mount empty
+§0): walk an aligned BAM against the reference FASTA; a mismatching
+aligned base at a position NOT in the variable-sites VCF is a true error;
+emit a TSV `label  reportedQ  actualQ  count` where
+actualQ = -10*log10((errors+1)/(total+2)) (Yates-smoothed, App. A.3).
+
+Soft-clipped bases and variable sites are excluded; optionally score the
+qualities from a recalibrated FASTQ (matched by read name) instead of the
+BAM's QUAL field.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from .io.bam import read_bam
+from .constants import NUM_Q
+
+
+def read_fasta(path: str) -> dict:
+    """name -> uppercase sequence bytes (plain or gzip)."""
+    import gzip
+    op = gzip.open if path.endswith(".gz") else open
+    seqs = {}
+    name = None
+    chunks = []
+    with op(path, "rb") as f:
+        for line in f:
+            line = line.rstrip()
+            if line.startswith(b">"):
+                if name is not None:
+                    seqs[name] = b"".join(chunks).upper()
+                name = line[1:].split()[0].decode()
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        seqs[name] = b"".join(chunks).upper()
+    return seqs
+
+
+def read_vcf_sites(path: str) -> dict:
+    """chrom -> sorted int array of 0-based variable positions."""
+    import gzip
+    op = gzip.open if path.endswith(".gz") else open
+    sites: dict[str, list] = {}
+    with op(path, "rb") as f:
+        for line in f:
+            if line.startswith(b"#"):
+                continue
+            parts = line.split(b"\t")
+            if len(parts) < 2:
+                continue
+            chrom = parts[0].decode()
+            pos = int(parts[1]) - 1
+            ref = parts[3] if len(parts) > 3 else b"N"
+            # cover all positions of the REF allele (indels span)
+            for i in range(max(1, len(ref))):
+                sites.setdefault(chrom, []).append(pos + i)
+    return {c: np.unique(np.asarray(p, dtype=np.int64))
+            for c, p in sites.items()}
+
+
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def parse_cigar(data, off, n_cigar):
+    """[(op_char, length)] from packed BAM cigar."""
+    import struct
+    out = []
+    for i in range(n_cigar):
+        v = struct.unpack_from("<I", data, off + 4 * i)[0]
+        out.append((_CIGAR_OPS[v & 0xF], v >> 4))
+    return out
+
+
+def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
+                  fastq_path: str | None = None, label: str = "kbbq-tpu"):
+    """Per-reported-Q (errors, totals) histogram from alignments."""
+    import struct
+
+    bf = read_bam(bam_path)
+    refs = read_fasta(ref_path)
+    sites = read_vcf_sites(vcf_path)
+
+    fq_quals = None
+    if fastq_path:
+        from .io.fastq import read_fastq
+        fq = read_fastq(fastq_path)
+        fq_quals = {}
+        for i in range(fq.num_reads):
+            name = fq.name_bytes(i).split()[0].decode()
+            q = np.frombuffer(fq.qual_bytes(i), np.uint8).astype(
+                np.int64) - 33
+            fq_quals[name.rstrip("/12")] = q
+
+    totals = np.zeros(NUM_Q, dtype=np.int64)
+    errors = np.zeros(NUM_Q, dtype=np.int64)
+    ref_names = [name for name, _ in bf.refs]
+
+    for rec in bf.records:
+        if rec.is_secondary_or_supp or rec.refid < 0:
+            continue
+        if rec.flag & 0x4:
+            continue
+        rname = ref_names[rec.refid]
+        ref = refs.get(rname)
+        if ref is None:
+            continue
+        var = sites.get(rname, np.zeros(0, dtype=np.int64))
+        (_, _, l_read_name, _, _, n_cigar, _, _, _, _, _) = \
+            struct.unpack_from("<iiBBHHHiiii", rec.data, 0)
+        cigar_off = 32 + l_read_name
+        cig = parse_cigar(rec.data, cigar_off, n_cigar)
+        seq = rec.seq_codes()
+        if fq_quals is not None:
+            q = fq_quals.get(rec.name.rstrip("/12"))
+            if q is None:
+                continue
+            if rec.is_reverse:
+                q = q[::-1]
+        else:
+            q = rec.quals().astype(np.int64)
+        ref_arr = np.frombuffer(ref, dtype=np.uint8)
+
+        rpos = rec.pos
+        spos = 0
+        for op, ln in cig:
+            if op in ("M", "=", "X"):
+                r = ref_arr[rpos:rpos + ln]
+                s = seq[spos:spos + ln]
+                qq = np.clip(q[spos:spos + ln], 0, NUM_Q - 1)
+                ref_codes = np.full(ln, 4, dtype=np.int8)
+                for code, ch in enumerate(b"ACGT"):
+                    ref_codes[r == ch] = code
+                pos_idx = np.arange(rpos, rpos + ln)
+                in_var = np.isin(pos_idx, var)
+                use = (~in_var) & (ref_codes != 4) & (s != 4)
+                err = use & (s != ref_codes)
+                np.add.at(totals, qq[use], 1)
+                np.add.at(errors, qq[err], 1)
+                rpos += ln
+                spos += ln
+            elif op in ("I", "S"):
+                spos += ln
+            elif op in ("D", "N"):
+                rpos += ln
+            # H, P consume nothing
+    return {"label": label, "totals": totals, "errors": errors}
+
+
+def write_tsv(result: dict, out) -> None:
+    close = False
+    if isinstance(out, str) and out != "-":
+        out = open(out, "w")
+        close = True
+    elif out == "-":
+        out = sys.stdout
+    out.write("label\treportedQ\tactualQ\tcount\n")
+    for q in range(NUM_Q):
+        n = int(result["totals"][q])
+        if n == 0:
+            continue
+        e = int(result["errors"][q])
+        actual = -10.0 * math.log10((e + 1) / (n + 2))
+        out.write(f"{result['label']}\t{q}\t{actual:.4f}\t{n}\n")
+    if close:
+        out.close()
+
+
+def benchmark_to_tsv(args) -> int:
+    result = benchmark_bam(args.bam, args.reference, args.vcf,
+                           fastq_path=args.fastq, label=args.label)
+    write_tsv(result, args.output)
+    return 0

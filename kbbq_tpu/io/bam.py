@@ -253,11 +253,17 @@ def rewrite_quals(rec: BamRecord, new_quals_machine: np.ndarray,
 CODE_TO_NIBBLE = np.array([1, 2, 4, 8, 15], dtype=np.uint8)
 
 
+_CIGAR_OP_CODES = {c: i for i, c in enumerate("MIDNSHP=X")}
+
+
 def build_record(name: str, seq_codes: np.ndarray, quals: np.ndarray,
                  flag: int = 0x4, rg: str | None = None,
                  refid: int = -1, pos: int = -1,
-                 aux_extra: bytes = b"") -> BamRecord:
-    """Construct a BamRecord from scratch (fixtures / FASTQ->BAM)."""
+                 cigar=None, aux_extra: bytes = b"") -> BamRecord:
+    """Construct a BamRecord from scratch (fixtures / FASTQ->BAM).
+
+    cigar: optional [(op_char, length)] (e.g. [("M", 100)]).
+    """
     seq_codes = np.asarray(seq_codes, dtype=np.int64)
     quals = np.asarray(quals, dtype=np.uint8)
     l_seq = int(seq_codes.shape[0])
@@ -266,19 +272,23 @@ def build_record(name: str, seq_codes: np.ndarray, quals: np.ndarray,
         nb = np.concatenate([nb, np.zeros(1, np.uint8)])
     packed = ((nb[0::2] << 4) | nb[1::2]).astype(np.uint8).tobytes()
     nameb = name.encode() + b"\x00"
+    cigar = cigar or []
+    cigarb = b"".join(struct.pack("<I", (ln << 4) | _CIGAR_OP_CODES[op])
+                      for op, ln in cigar)
     aux = b""
     if rg is not None:
         aux += b"RGZ" + rg.encode() + b"\x00"
     aux += aux_extra
     body = bytearray()
-    body += struct.pack("<iiBBHHHiiii", refid, pos, len(nameb), 0, 0, 0,
-                        flag, l_seq, -1, -1, 0)
+    body += struct.pack("<iiBBHHHiiii", refid, pos, len(nameb), 0, 0,
+                        len(cigar), flag, l_seq, -1, -1, 0)
     body += nameb
+    body += cigarb
     body += packed
     body += quals.tobytes()
     body += aux
     name_off = 32
-    seq_off = name_off + len(nameb)
+    seq_off = name_off + len(nameb) + len(cigarb)
     qual_off = seq_off + (l_seq + 1) // 2
     aux_off = qual_off + l_seq
     return BamRecord(body, flag, l_seq, name, seq_off, qual_off, aux_off,

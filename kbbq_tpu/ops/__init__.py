@@ -11,7 +11,13 @@ from .kmers import (
     kmer_hashes,
     sample_keep_mask,
 )
-from .bloom import bloom_insert, bloom_query, probe_positions
+from .bloom import (
+    bloom_insert,
+    bloom_query,
+    bloom_query_rows,
+    bloom_rows,
+    probe_positions,
+)
 from .trusted import coverage_counts, trusted_mask_batch
 from .inference import infer_errors_batch
 from .covariate import accumulate_covariates, new_covariate_state

@@ -1,8 +1,13 @@
-"""JAX Bloom filter ops over a byte-per-slot uint8 array (D3/D4).
+"""JAX Bloom filter ops — BLOCKED byte-per-slot layout (D3/D4).
 
-Insert = scatter-set (no read-modify-write: all writes store 1, so
-collisions commute — sharding cannot change the result, SURVEY.md H5).
-Query = gather + all-reduce over the probe axis.  Twin: oracle/bloom.py.
+All h probes of a k-mer live in one 32-byte block, so a query costs ONE
+random HBM fetch (SURVEY.md H4).  Insert = scatter-set of single bytes (no
+read-modify-write: all writes store 1, so collisions commute and sharding
+cannot change the result, SURVEY.md H5).  Query passes read the filter
+through a uint32[R, 8] bitcast view (`bloom_rows`, built once per pass
+boundary): one row gather per k-mer + in-register byte tests.
+
+Twin: oracle/bloom.py + oracle/kmers.py::probe_positions.
 """
 
 from __future__ import annotations
@@ -19,9 +24,26 @@ def probe_positions(hi: jax.Array, lo: jax.Array, num_hashes: int,
                     log2_m: int) -> jax.Array:
     """uint32 [..., num_hashes] slot indices (oracle: probe_positions)."""
     h1, h2 = kmer_hashes(hi, lo)
-    i = jax.lax.broadcasted_iota(_u32, (num_hashes,), 0)
-    pos = h1[..., None] + i * h2[..., None]
-    return pos & _u32((1 << log2_m) - 1)
+    block = h1 & _u32((1 << (log2_m - 5)) - 1)
+    s = (jax.lax.broadcasted_iota(_u32, (num_hashes,), 0) * _u32(5)) \
+        & _u32(31)
+    rot = (h2[..., None] >> s) | (h2[..., None] << ((_u32(32) - s)
+                                                    & _u32(31)))
+    off = rot & _u32(31)
+    return (block[..., None] << _u32(5)) | off
+
+
+def block_and_offsets(hi: jax.Array, lo: jax.Array, num_hashes: int,
+                      log2_m: int):
+    """(block [...], off [..., h]) for row-wise queries."""
+    h1, h2 = kmer_hashes(hi, lo)
+    block = (h1 & _u32((1 << (log2_m - 5)) - 1)).astype(jnp.int32)
+    s = (jax.lax.broadcasted_iota(_u32, (num_hashes,), 0) * _u32(5)) \
+        & _u32(31)
+    rot = (h2[..., None] >> s) | (h2[..., None] << ((_u32(32) - s)
+                                                    & _u32(31)))
+    off = (rot & _u32(31)).astype(jnp.int32)
+    return block, off
 
 
 def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,
@@ -41,9 +63,33 @@ def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,
         unique_indices=False)
 
 
+@jax.jit
+def bloom_rows(slots: jax.Array) -> jax.Array:
+    """uint32 [R, 8] row view of a byte filter (one 128-byte-free bitcast
+    pass; build once per pass boundary, reuse for every query batch)."""
+    m = slots.shape[0]
+    return jax.lax.bitcast_convert_type(
+        slots.reshape(m // 32, 8, 4), jnp.uint32)
+
+
+def bloom_query_rows(rows: jax.Array, hi: jax.Array, lo: jax.Array,
+                     num_hashes: int) -> jax.Array:
+    """Membership per k-mer via ONE row gather each: bool [...].
+
+    rows: uint32 [R, 8] from bloom_rows.
+    """
+    log2_m = int(rows.shape[0] * 32).bit_length() - 1
+    block, off = block_and_offsets(hi, lo, num_hashes, log2_m)
+    row = rows[block]                       # [..., 8] one fetch per k-mer
+    word = jnp.take_along_axis(row, off >> 2, axis=-1)
+    byte = (word >> ((off & 3).astype(_u32) * _u32(8))) & _u32(0xFF)
+    return jnp.min(byte, axis=-1) > 0
+
+
 def bloom_query(slots: jax.Array, hi: jax.Array, lo: jax.Array,
                 num_hashes: int) -> jax.Array:
-    """Membership per k-mer: bool [...]. All probe slots must be 1."""
+    """Byte-level query (semantic reference; h gathers).  The pipeline
+    uses bloom_query_rows on a prebuilt row view instead."""
     m = slots.shape[0]
     log2_m = int(m).bit_length() - 1
     pos = probe_positions(hi, lo, num_hashes, log2_m).astype(jnp.int32)

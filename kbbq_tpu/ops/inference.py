@@ -17,7 +17,7 @@ break per active read:
      PATCHING the window k-mer lane arrays in place (replacing the base at
      window offset d is a masked-OR at bit 2(k-1-d) of the forward word
      and bit 2d of the RC word — O(1) per window, no re-rolling);
-  3. ONE batched Bloom query [B, 4, k, probes] — the only filter access
+  3. ONE batched blocked-Bloom row query [B, 4, k] — the only filter access
      of the round (XLA implements large gathers at streaming bandwidth,
      so cost is ~(filter bytes / HBM BW) per round, independent of B);
   4. resolve extensions/tie-breaks, commit the chosen substitution into
@@ -47,7 +47,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .bloom import bloom_query
+from .bloom import bloom_query_rows
 from .kmers import canonical_from_lanes, canonical_kmers_batch, \
     kmer_lanes_batch
 
@@ -106,7 +106,7 @@ def _next_break(teff, valid, x, n):
     return jnp.min(jnp.where(mask, i, n), axis=1)
 
 
-def _walk_rounds(slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
+def _walk_rounds(rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
                  rev_ties):
     """All rounds of one directional walk on full-batch state.
 
@@ -117,7 +117,7 @@ def _walk_rounds(slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
     B = work.shape[0]
     fhi, flo, rhi, rlo, valid = lanes
     validn = valid[:, :n]
-    rows = jax.lax.broadcasted_iota(_i32, (B, k), 0)
+    brows = jax.lax.broadcasted_iota(_i32, (B, k), 0)
     t_vec = jax.lax.broadcasted_iota(_i32, (1, k), 1)
     bit_f = (2 * t_vec)[None]                       # [1, 1, k]
     bit_r = (2 * (k - 1 - t_vec))[None]
@@ -144,7 +144,7 @@ def _walk_rounds(slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
         pr_hi, pr_lo = _patch_lanes(wr_hi[:, None], wr_lo[:, None],
                                     bit_r, _u32(3) - cval)
         chi, clo = canonical_from_lanes(pf_hi, pf_lo, pr_hi, pr_lo)
-        q = bloom_query(slots, chi, clo, num_hashes)        # [B, 4, k]
+        q = bloom_query_rows(rows, chi, clo, num_hashes)    # [B, 4, k]
         q = q & wvalid[:, None] & (t_vec[None] < (n - jc)[:, None, None])
         ext = _leading_true(q)                              # [B, 4]
 
@@ -165,7 +165,7 @@ def _walk_rounds(slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
         # write the chosen candidate's patched lanes back on commit
         ch = chosen[:, None, None]
         pick = lambda a: jnp.take_along_axis(a, ch, 1)[:, 0]  # [B, k]
-        wrt = lambda a, pa, old: a.at[rows, idxs].set(
+        wrt = lambda a, pa, old: a.at[brows, idxs].set(
             jnp.where(commit[:, None], pa, old))
         fhi = wrt(fhi, pick(pf_hi), wf_hi)
         flo = wrt(flo, pick(pf_lo), wf_lo)
@@ -180,7 +180,7 @@ def _walk_rounds(slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
                 [teff, jnp.zeros((B, k), bool)], 1), idxs, 1)
         te_new = jnp.where(active[:, None] & in_n, q_ch, old_te)
         teff = jnp.concatenate([teff, jnp.zeros((B, k), bool)], 1) \
-            .at[rows, idxs].set(te_new)[:, :n]
+            .at[brows, idxs].set(te_new)[:, :n]
 
         # sequence + error mask
         newb = jnp.where(commit, chosen, orig).astype(jnp.int8)
@@ -202,12 +202,12 @@ def _walk_rounds(slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes"))
-def infer_errors_batch(slots: jax.Array, codes: jax.Array, k: int,
+def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
                        num_hashes: int) -> jax.Array:
     """Error mask per base for a batch (D7).
 
     Args:
-      slots: uint8 [m] trusted-k-mer Bloom filter.
+      rows: uint32 [R, 8] trusted-filter row view (ops.bloom.bloom_rows).
       codes: int8 [B, L] base codes (pads are 4).
     Returns: bool [B, L].
     """
@@ -216,7 +216,7 @@ def infer_errors_batch(slots: jax.Array, codes: jax.Array, k: int,
 
     fhi, flo, rhi, rlo, valid = kmer_lanes_batch(codes, k)
     hi, lo = canonical_from_lanes(fhi, flo, rhi, rlo)
-    trusted0 = bloom_query(slots, hi, lo, num_hashes) & valid
+    trusted0 = bloom_query_rows(rows, hi, lo, num_hashes) & valid
 
     any_valid = valid.any(axis=1)
     all_tr = jnp.all(trusted0 | ~valid, axis=1)
@@ -237,7 +237,7 @@ def infer_errors_batch(slots: jax.Array, codes: jax.Array, k: int,
     x0 = jnp.where(active, b + 1, n)
     j0 = _next_break(teff, valid, x0, n)
     work, lanes, teff, err = _walk_rounds(
-        slots, work, lanes, teff, err, j0, k, num_hashes, n, L,
+        rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
         rev_ties=False)
 
     # leftward walk == rightward walk on the reverse complement; RC lane
@@ -258,7 +258,7 @@ def infer_errors_batch(slots: jax.Array, codes: jax.Array, k: int,
     x0_rc = jnp.where(active, n - a, n)
     j0_rc = _next_break(rc_teff, flip(vv), x0_rc, n)
     _, _, _, rc_err = _walk_rounds(
-        slots, rc_work, rc_lanes, rc_teff, rc_err, j0_rc, k, num_hashes,
+        rows, rc_work, rc_lanes, rc_teff, rc_err, j0_rc, k, num_hashes,
         n, L, rev_ties=True)
     return err | rc_err[:, ::-1]
 
@@ -269,12 +269,12 @@ def infer_errors_batch(slots: jax.Array, codes: jax.Array, k: int,
 WALK_CHUNK = 2048
 
 
-def infer_errors_chunked(slots, codes, k: int, num_hashes: int,
+def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
                          chunk: int = WALK_CHUNK) -> jax.Array:
     """infer_errors_batch in chunk-wide slices (async, no host sync)."""
     B, _ = codes.shape
     if B <= chunk:
-        return infer_errors_batch(slots, codes, k, num_hashes)
-    outs = [infer_errors_batch(slots, codes[s:s + chunk], k, num_hashes)
+        return infer_errors_batch(rows, codes, k, num_hashes)
+    outs = [infer_errors_batch(rows, codes[s:s + chunk], k, num_hashes)
             for s in range(0, B, chunk)]
     return jnp.concatenate(outs, axis=0)

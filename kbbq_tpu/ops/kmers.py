@@ -114,11 +114,11 @@ def canonical_kmers_batch(codes: jax.Array, k: int):
 
 
 def kmer_hashes(hi: jax.Array, lo: jax.Array):
-    """(h1, h2) bloom probe base/stride (oracle: kmer_hashes)."""
+    """(h1, h2): block selector / in-block offsets (oracle: kmer_hashes)."""
     hi = hi.astype(_u32)
     lo = lo.astype(_u32)
     h1 = fmix32(lo ^ fmix32(hi ^ _u32(HASH_SEED_H1)))
-    h2 = fmix32(hi ^ fmix32(lo ^ _u32(HASH_SEED_H2))) | _u32(1)
+    h2 = fmix32(hi ^ fmix32(lo ^ _u32(HASH_SEED_H2)))
     return h1, h2
 
 

@@ -129,20 +129,28 @@ def canonical_kmers(codes: np.ndarray, k: int):
 
 
 def kmer_hashes(hi: np.ndarray, lo: np.ndarray):
-    """(h1, h2) bloom probe base/stride per D3. h2 is forced odd."""
+    """(h1, h2): block selector / in-block offset source per D3."""
     hi = np.asarray(hi, dtype=_U32)
     lo = np.asarray(lo, dtype=_U32)
     h1 = fmix32(lo ^ fmix32(hi ^ _U32(HASH_SEED_H1)))
-    h2 = fmix32(hi ^ fmix32(lo ^ _U32(HASH_SEED_H2))) | _U32(1)
+    h2 = fmix32(hi ^ fmix32(lo ^ _U32(HASH_SEED_H2)))
     return h1, h2
 
 
 def probe_positions(h1: np.ndarray, h2: np.ndarray, num_hashes: int, log2_m: int):
-    """Slot index per probe: (h1 + i*h2) mod 2^log2_m -> uint32 [..., num_hashes]."""
-    i = np.arange(num_hashes, dtype=_U32)
+    """BLOCKED probe slots (D3): block = h1 & (R-1) with R = 2^log2_m / 32;
+    off_i = rotr32(h2, (5i) & 31) & 31; slot = block*32 + off_i.
+    Returns uint32 [..., num_hashes].  All probes share one 32-byte line.
+    """
+    h1 = np.asarray(h1, dtype=_U32)
+    h2 = np.asarray(h2, dtype=_U32)
+    block = h1 & _U32((1 << (log2_m - 5)) - 1)
+    s = (np.arange(num_hashes, dtype=_U32) * _U32(5)) & _U32(31)
     with np.errstate(over="ignore"):
-        pos = h1[..., None] + i * h2[..., None]
-    return pos & _U32((1 << log2_m) - 1)
+        rot = ((h2[..., None] >> s) |
+               (h2[..., None] << ((_U32(32) - s) & _U32(31))))
+    off = rot & _U32(31)
+    return (block[..., None] << _U32(5)) | off
 
 
 def sample_hash(read_id: np.ndarray, offset: np.ndarray) -> np.ndarray:

@@ -32,7 +32,7 @@ from ..oracle.bloom import BloomParams
 from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
-from ..ops.bloom import bloom_insert, bloom_query
+from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
 from ..ops.covariate import accumulate_covariates, new_covariate_state
 from ..ops.inference import WALK_CHUNK, infer_errors_batch
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
@@ -64,27 +64,27 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh,
-            in_specs=(P(), P(R, None), P(R, None), P()),
+            in_specs=(P(None, None), P(R, None), P(R, None), P()),
             out_specs=P(R, None))
-    def step_trusted(slots_a, slots_b_dm, codes, t_table):
+    def step_trusted(rows_a, slots_b_dm, codes, t_table):
         hi, lo, valid = canonical_kmers_batch(codes, k)
-        hits = bloom_query(slots_a, hi, lo, num_hashes) & valid
+        hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
         tr = trusted_mask_batch(hits, valid, t_table, k)
         return bloom_insert(slots_b_dm[0], hi, lo, tr, num_hashes)[None]
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh,
-            in_specs=(P(), {k_: P(R, *([None] * 3)) for k_ in
+            in_specs=(P(None, None), {k_: P(R, *([None] * 3)) for k_ in
                             ("cyc_total", "cyc_errors",
                              "din_total", "din_errors")},
                       P(R, None), P(R, None), P(R, None), P(R), P(R)),
             out_specs={k_: P(R, *([None] * 3)) for k_ in
                        ("cyc_total", "cyc_errors",
                         "din_total", "din_errors")})
-    def step_covariates(slots_b, cov_dm, codes, quals, mask, rgs, seconds):
+    def step_covariates(rows_b, cov_dm, codes, quals, mask, rgs, seconds):
         # chunk the walk (WALK_CHUNK lanes) — see docs/KNOWN_ISSUES.md #1
         Bd = codes.shape[0]
-        errs = [infer_errors_batch(slots_b, codes[s:s + WALK_CHUNK],
+        errs = [infer_errors_batch(rows_b, codes[s:s + WALK_CHUNK],
                                    k, num_hashes)
                 for s in range(0, Bd, WALK_CHUNK)]
         errors = errs[0] if len(errs) == 1 else jnp.concatenate(errs, 0)
@@ -102,10 +102,12 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
 
     @jax.jit
     def merge_bloom(slots_dm):
-        # all-reduce max over the replica axis -> replicated [m]
+        # all-reduce max over the replica axis -> replicated uint32 row
+        # view [R, 8] for the query passes
         merged = jnp.max(slots_dm, axis=0)
+        rows = bloom_rows(merged)
         return jax.lax.with_sharding_constraint(
-            merged, NamedSharding(mesh, P()))
+            rows, NamedSharding(mesh, P(None, None)))
 
     return {
         "sample": step_sample,
@@ -204,7 +206,9 @@ class ShardedRecalPipeline:
         self._flush_cov()
 
     def _flush_cov(self) -> None:
-        s = {kk: np.asarray(v, dtype=np.int64).sum(axis=0)
+        # plain asarray then astype: dtype-converting asarray on device
+        # arrays is pathologically slow (docs/KNOWN_ISSUES.md)
+        s = {kk: np.asarray(v).astype(np.int64).sum(axis=0)
              for kk, v in self.cov_dm.items()}
         self.cov.totals.cyc_total += s["cyc_total"]
         self.cov.totals.cyc_errors += s["cyc_errors"]

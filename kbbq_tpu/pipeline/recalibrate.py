@@ -28,7 +28,7 @@ from ..oracle.bloom import BloomParams
 from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
-from ..ops.bloom import bloom_insert, bloom_query
+from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
 from ..ops.covariate import accumulate_covariates
 from ..ops.inference import infer_errors_chunked
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
@@ -74,9 +74,9 @@ def _step_sample(slots, codes, read_ids, threshold, *, k, num_hashes):
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes"),
                    donate_argnames=("slots_b",))
-def _step_trusted(slots_a, slots_b, codes, t_table, *, k, num_hashes):
+def _step_trusted(rows_a, slots_b, codes, t_table, *, k, num_hashes):
     hi, lo, valid = canonical_kmers_batch(codes, k)
-    hits = bloom_query(slots_a, hi, lo, num_hashes) & valid
+    hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
     tr = trusted_mask_batch(hits, valid, t_table, k)
     return bloom_insert(slots_b, hi, lo, tr, num_hashes)
 
@@ -118,27 +118,49 @@ class RecalPipeline:
             slots = _step_sample(slots, jnp.asarray(b.codes),
                                  jnp.asarray(b.read_ids), self.threshold,
                                  k=k, num_hashes=h)
+        jax.block_until_ready(slots)  # pass-boundary sync: deep async
+        # queues across passes trigger an axon scheduling pathology
+        # (~50s stalls; docs/KNOWN_ISSUES.md #6)
         self.bloom_a = BloomState(self.bloom_a.params, slots)
+        self.rows_a = bloom_rows(slots)  # uint32 row view for queries
 
     def run_pass2(self, batches: Iterable[Batch]) -> None:
         k, h = self.config.k, self.config.num_hashes
         slots_b = self.bloom_b.slots
         for b in batches:
-            slots_b = _step_trusted(self.bloom_a.slots, slots_b,
+            slots_b = _step_trusted(self.rows_a, slots_b,
                                     jnp.asarray(b.codes), self.t_table,
                                     k=k, num_hashes=h)
+        jax.block_until_ready(slots_b)
         self.bloom_b = BloomState(self.bloom_b.params, slots_b)
+        self.rows_b = bloom_rows(slots_b)
 
     def run_pass3(self, batches: Iterable[Batch]) -> None:
+        import os
+        import sys
+        import time
+        dbg = os.environ.get("KBBQ_DEBUG_TIMING")
         k, h = self.config.k, self.config.num_hashes
-        for b in batches:
+        for bi, b in enumerate(batches):
+            t0 = time.time()
             codes = jnp.asarray(b.codes)
-            errors = infer_errors_chunked(self.bloom_b.slots, codes, k, h)
+            errors = infer_errors_chunked(self.rows_b, codes, k, h)
+            t1 = time.time()
             self.cov.device_state = _accumulate_donated(
                 self.cov.device_state, codes, jnp.asarray(b.quals),
                 jnp.asarray(b.mask), jnp.asarray(b.rgs),
                 jnp.asarray(b.seconds), errors)
             self.cov.note_batch()
+            if dbg:
+                jax.block_until_ready(self.cov.device_state["cyc_total"])
+                print(f"[p3 b{bi}] infer={t1-t0:.3f} "
+                      f"accum+block={time.time()-t1:.3f}",
+                      file=sys.stderr, flush=True)
+        t0 = time.time()
+        jax.block_until_ready(self.cov.device_state["cyc_total"])
+        if dbg:
+            print(f"[p3] final block={time.time()-t0:.3f}",
+                  file=sys.stderr, flush=True)
         self.cov.flush()
 
     def compute_recal_table(self) -> np.ndarray:

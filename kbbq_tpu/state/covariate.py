@@ -40,7 +40,10 @@ class CovariateAccumulator:
     def flush(self) -> None:
         if self._epoch_batches == 0:
             return
-        s = {k: np.asarray(v, dtype=np.int64)
+        # NOTE: np.asarray(device_array, dtype=...) takes a pathological
+        # per-element path through the axon tunnel (measured 258s for
+        # ~250KB); plain asarray then astype is instant.
+        s = {k: np.asarray(v).astype(np.int64)
              for k, v in self.device_state.items()}
         self.totals.cyc_total += s["cyc_total"]
         self.totals.cyc_errors += s["cyc_errors"]

@@ -1,0 +1,92 @@
+"""Tests for the benchmark + plot subcommands (reference P7/P8 parity)."""
+
+import numpy as np
+
+from kbbq_tpu.benchmark import benchmark_bam, read_fasta, read_vcf_sites, \
+    write_tsv
+from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+from kbbq_tpu.oracle.kmers import decode_seq
+from kbbq_tpu.plot import plot_benchmark
+
+
+def _fixture(tmp_path):
+    rng = np.random.default_rng(0)
+    G = 500
+    genome = rng.integers(0, 4, G).astype(np.int8)
+    ref_path = tmp_path / "ref.fa"
+    ref_path.write_bytes(b">chr1 test\n" + decode_seq(genome) + b"\n")
+
+    # variable site at position 100 (0-based) -> VCF pos 101 (1-based)
+    vcf_path = tmp_path / "sites.vcf"
+    vcf_path.write_bytes(
+        b"##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\n"
+        b"chr1\t101\t.\tA\tT\n")
+
+    recs = []
+    planted = 0
+    for i in range(20):
+        start = 50 + i * 10
+        L = 60
+        seq = genome[start:start + L].copy()
+        q = np.full(L, 30, dtype=np.int8)
+        # plant 2 mismatches per read at fixed offsets with q=20
+        for off in (10, 40):
+            seq[off] = (seq[off] + 1) % 4
+            q[off] = 20
+            planted += 1
+        recs.append(build_record(f"r{i}", seq, q, flag=0, rg="g",
+                                 refid=0, pos=start, cigar=[("M", L)]))
+    bam_path = tmp_path / "aln.bam"
+    bam_path.write_bytes(serialize_bam(
+        BamFile("@HD\tVN:1.6\n", [("chr1", G)], recs)))
+    return bam_path, ref_path, vcf_path, planted
+
+
+def test_benchmark_counts_planted_errors(tmp_path):
+    bam, ref, vcf, planted = _fixture(tmp_path)
+    res = benchmark_bam(str(bam), str(ref), str(vcf))
+    # all planted errors carry q=20; a few may overlap the variable site
+    assert res["errors"][20] >= planted - 4
+    assert res["errors"][20] <= planted
+    assert res["errors"][30] <= 2          # q=30 bases are correct
+    assert res["totals"].sum() > 1000
+
+    out = tmp_path / "bench.tsv"
+    write_tsv(res, str(out))
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("label\treportedQ")
+    rows = {int(l.split("\t")[1]): l.split("\t") for l in lines[1:]}
+    # q=20: ~40 errors -> actualQ ~ -10log10(41/(n+2)) far below 20
+    assert float(rows[20][2]) < 15
+    assert float(rows[30][2]) > 25
+
+
+def test_benchmark_excludes_variable_sites(tmp_path):
+    bam, ref, vcf, _ = _fixture(tmp_path)
+    res_with = benchmark_bam(str(bam), str(ref), str(vcf))
+    # without the VCF exclusion the same data counts more positions
+    novcf = tmp_path / "none.vcf"
+    novcf.write_bytes(b"##fileformat=VCFv4.2\n#CHROM\tPOS\n")
+    res_wo = benchmark_bam(str(bam), str(ref), str(novcf))
+    assert res_wo["totals"].sum() > res_with["totals"].sum()
+
+
+def test_fasta_vcf_parsers(tmp_path):
+    p = tmp_path / "x.fa"
+    p.write_bytes(b">a desc\nACGT\nacgt\n>b\nNNNN\n")
+    seqs = read_fasta(str(p))
+    assert seqs == {"a": b"ACGTACGT", "b": b"NNNN"}
+    v = tmp_path / "x.vcf"
+    v.write_bytes(b"#h\nchr1\t10\t.\tAC\tG\nchr1\t5\t.\tA\tT\n")
+    sites = read_vcf_sites(str(v))
+    assert sites["chr1"].tolist() == [4, 9, 10]  # 0-based; REF AC spans 2
+
+
+def test_plot_runs(tmp_path):
+    bam, ref, vcf, _ = _fixture(tmp_path)
+    res = benchmark_bam(str(bam), str(ref), str(vcf))
+    tsv = tmp_path / "b.tsv"
+    write_tsv(res, str(tsv))
+    out = tmp_path / "plot.png"
+    plot_benchmark(str(tsv), str(out))
+    assert out.stat().st_size > 1000

@@ -21,6 +21,8 @@ from kbbq_tpu.ops import (
     apply_recal_table,
     bloom_insert,
     bloom_query,
+    bloom_query_rows,
+    bloom_rows,
     canonical_kmers_batch,
     fmix32,
     infer_errors_batch,
@@ -108,6 +110,26 @@ def test_bloom_roundtrip_matches_oracle():
     got = np.asarray(bloom_query(slots, jnp.asarray(qhi), jnp.asarray(qlo),
                                  params.num_hashes))
     assert (got == ob.query(qhi, qlo)).all()
+    # uint32 row view query must agree with byte-level query exactly
+    rows = bloom_rows(slots)
+    got_r = np.asarray(bloom_query_rows(rows, jnp.asarray(qhi),
+                                        jnp.asarray(qlo),
+                                        params.num_hashes))
+    assert (got_r == got).all()
+
+
+def test_blocked_bloom_fpr_under_one_percent():
+    rng = np.random.default_rng(9)
+    n_keys = 50_000
+    params = BloomParams.for_keys(n_keys, 20)
+    ob = OracleBloom(params)
+    hi = rng.integers(0, 2**32, size=n_keys, dtype=np.uint32)
+    lo = rng.integers(0, 2**32, size=n_keys, dtype=np.uint32)
+    ob.insert(hi, lo)
+    qhi = rng.integers(0, 2**32, size=100_000, dtype=np.uint32)
+    qlo = rng.integers(0, 2**32, size=100_000, dtype=np.uint32)
+    fpr = ob.query(qhi, qlo).mean()
+    assert fpr < 0.01, f"blocked-bloom FPR {fpr}"
 
 
 def _build_filters(ds, k, alpha):
@@ -153,9 +175,9 @@ def test_infer_errors_matches_oracle():
                       error_rate=0.03, seed=13, n_rate=0.01)
     _, bloom_b = _build_filters(ds, k, alpha)
     arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
-    slots = jnp.asarray(bloom_b.slots)
+    rows = bloom_rows(jnp.asarray(bloom_b.slots))
     got = np.asarray(infer_errors_batch(
-        slots, jnp.asarray(arrays.codes), k, bloom_b.params.num_hashes))
+        rows, jnp.asarray(arrays.codes), k, bloom_b.params.num_hashes))
     mismatches = []
     for i, codes in enumerate(ds.codes[:120]):
         want = olight.infer_read_errors(codes, k, bloom_b)
@@ -171,13 +193,13 @@ def test_infer_errors_chunked_matches_plain():
                       error_rate=0.03, seed=23, n_rate=0.01)
     _, bloom_b = _build_filters(ds, k, alpha)
     arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
-    slots = jnp.asarray(bloom_b.slots)
+    rows = bloom_rows(jnp.asarray(bloom_b.slots))
     codes = jnp.asarray(arrays.codes)
-    plain = np.asarray(infer_errors_batch(slots, codes, k, 7))
-    chunked = np.asarray(infer_errors_chunked(slots, codes, k, 7, chunk=32))
+    plain = np.asarray(infer_errors_batch(rows, codes, k, 7))
+    chunked = np.asarray(infer_errors_chunked(rows, codes, k, 7, chunk=32))
     assert (plain == chunked).all()
     # empty-filter corner: no anchors anywhere -> nothing marked
-    empty = jnp.zeros_like(slots)
+    empty = jnp.zeros_like(rows)
     got = np.asarray(infer_errors_batch(empty, codes, k, 7))
     assert not got.any()
 
@@ -191,7 +213,7 @@ def test_infer_errors_edge_shapes():
     codes[1, :] = 2            # uniform read, empty filter
     # codes[2]: all N; codes[3]: all pad
     got = np.asarray(infer_errors_batch(
-        jnp.asarray(bloom_b.slots), jnp.asarray(codes), k,
+        bloom_rows(jnp.asarray(bloom_b.slots)), jnp.asarray(codes), k,
         bloom_b.params.num_hashes))
     assert not got.any()
 
