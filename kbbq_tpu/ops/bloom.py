@@ -65,25 +65,32 @@ def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,
 
 @jax.jit
 def bloom_rows(slots: jax.Array) -> jax.Array:
-    """uint32 [R, 8] row view of a byte filter (one 128-byte-free bitcast
-    pass; build once per pass boundary, reuse for every query batch)."""
-    m = slots.shape[0]
-    return jax.lax.bitcast_convert_type(
-        slots.reshape(m // 32, 8, 4), jnp.uint32)
+    """Pack the byte filter into bit-blocks: uint32 [m/32], word b's bit j
+    = slots[b*32 + j].  Built once per pass boundary.
 
-
-def bloom_query_rows(rows: jax.Array, hi: jax.Array, lo: jax.Array,
-                     num_hashes: int) -> jax.Array:
-    """Membership per k-mer via ONE row gather each: bool [...].
-
-    rows: uint32 [R, 8] from bloom_rows.
+    Implementation note: 32 strided 1-D slices + shifts — everything stays
+    1-D because TPU layouts pad small minor dimensions catastrophically
+    (a [R, 8, 4] bitcast reshape wanted 18GB of padding at compile time).
     """
-    log2_m = int(rows.shape[0] * 32).bit_length() - 1
+    m = slots.shape[0]
+    word = jnp.zeros(m // 32, dtype=_u32)
+    for j in range(32):
+        word = word | (slots[j::32].astype(_u32) << _u32(j))
+    return word
+
+
+def bloom_query_rows(packed: jax.Array, hi: jax.Array, lo: jax.Array,
+                     num_hashes: int) -> jax.Array:
+    """Membership per k-mer via ONE uint32-word gather each: bool [...].
+
+    packed: uint32 [m/32] from bloom_rows; all h probe bits live in the
+    k-mer's single block word (D3).
+    """
+    log2_m = int(packed.shape[0] * 32).bit_length() - 1
     block, off = block_and_offsets(hi, lo, num_hashes, log2_m)
-    row = rows[block]                       # [..., 8] one fetch per k-mer
-    word = jnp.take_along_axis(row, off >> 2, axis=-1)
-    byte = (word >> ((off & 3).astype(_u32) * _u32(8))) & _u32(0xFF)
-    return jnp.min(byte, axis=-1) > 0
+    word = packed[block]                    # [...] one fetch per k-mer
+    bits = (word[..., None] >> off.astype(_u32)) & _u32(1)
+    return jnp.min(bits, axis=-1) > 0
 
 
 def bloom_query(slots: jax.Array, hi: jax.Array, lo: jax.Array,
