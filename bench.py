@@ -27,6 +27,15 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
     import jax
     import numpy as np
 
+    # persistent compile cache: the full-pipeline compile costs minutes on
+    # the axon backend; cached executables make reruns start fast
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from kbbq_tpu.pipeline import RecalConfig
     from kbbq_tpu.pipeline.recalibrate import recalibrate_arrays
     from kbbq_tpu.utils.synth import make_arrays_fast

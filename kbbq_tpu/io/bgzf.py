@@ -26,7 +26,22 @@ class BGZFError(ValueError):
 
 
 def decompress(data: bytes) -> bytes:
-    """Decompress a whole BGZF byte string (all blocks concatenated)."""
+    """Decompress a whole BGZF byte string (all blocks concatenated).
+
+    Uses the multithreaded native codec (io/native) when built; falls back
+    to this pure-Python implementation otherwise.
+    """
+    from . import native_lib
+    try:
+        native = native_lib.bgzf_decompress(data)
+        if native is not None:
+            return native
+    except ValueError as e:
+        raise BGZFError(str(e)) from e
+    return _decompress_py(data)
+
+
+def _decompress_py(data: bytes) -> bytes:
     out = []
     off = 0
     n = len(data)
@@ -67,7 +82,16 @@ def decompress(data: bytes) -> bytes:
 
 def compress(data: bytes, level: int = 6,
              block_size: int = 0xFF00) -> bytes:
-    """Compress bytes into BGZF blocks + EOF marker."""
+    """Compress bytes into BGZF blocks + EOF marker (native if built)."""
+    from . import native_lib
+    native = native_lib.bgzf_compress(data, level)
+    if native is not None:
+        return native
+    return _compress_py(data, level, block_size)
+
+
+def _compress_py(data: bytes, level: int = 6,
+                 block_size: int = 0xFF00) -> bytes:
     out = []
     for s in range(0, len(data), block_size):
         chunk = data[s:s + block_size]

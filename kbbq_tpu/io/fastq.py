@@ -92,6 +92,20 @@ def parse_fastq_bytes(data: bytes | np.ndarray) -> FastqData:
         buf = np.asarray(data, dtype=np.uint8)
     if buf.size and buf[-1] != _NL:
         buf = np.concatenate([buf, np.array([_NL], dtype=np.uint8)])
+
+    # native memchr-based scanner when built (handles the same layout)
+    from . import native_lib
+    try:
+        idx = native_lib.fastq_index(buf)
+    except ValueError as e:
+        raise ValueError(f"FASTQ parse error: {e}") from e
+    if idx is not None:
+        return FastqData(
+            buf=buf,
+            name_starts=idx[:, 0], name_ends=idx[:, 1],
+            seq_starts=idx[:, 2], seq_ends=idx[:, 3],
+            qual_starts=idx[:, 6], qual_ends=idx[:, 7],
+        )
     nl = np.flatnonzero(buf == _NL)
     if nl.size % 4 != 0:
         raise ValueError(

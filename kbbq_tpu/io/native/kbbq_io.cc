@@ -1,0 +1,226 @@
+// kbbq-tpu native IO codec: multithreaded BGZF + FASTQ scanning.
+//
+// Reference analog: htslib's bgzf.c / kseq (SURVEY.md §3.1 C7).  The
+// reference links htslib; this is our own TPU-host-side implementation
+// (no htslib in this environment, SURVEY.md H7).  Exposed as a C ABI for
+// ctypes (no pybind11 in this environment).
+//
+// Build: make -C kbbq_tpu/io/native   ->  libkbbq_io.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- BGZF
+
+struct BgzfBlock {
+  size_t in_off;     // offset of compressed payload
+  size_t in_len;     // compressed payload length
+  size_t out_off;    // offset in decompressed stream
+  uint32_t isize;    // uncompressed size
+  uint32_t crc;
+};
+
+// Scan BGZF blocks. Returns number of blocks, or -1 on parse error.
+// Fills per-block arrays (caller allocates to capacity cap).
+static int64_t scan_blocks(const uint8_t* in, size_t n,
+                           std::vector<BgzfBlock>& blocks,
+                           size_t* total_out) {
+  static const uint8_t EOF_MARKER[28] = {
+      0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+      0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0, 0, 0, 0, 0,
+      0, 0, 0, 0};
+  size_t off = 0, out = 0;
+  while (off < n) {
+    if (n - off >= 28 && memcmp(in + off, EOF_MARKER, 28) == 0) {
+      off += 28;
+      continue;
+    }
+    if (n - off < 18) return -1;
+    if (in[off] != 31 || in[off + 1] != 139 || in[off + 2] != 8 ||
+        !(in[off + 3] & 4))
+      return -1;
+    uint16_t xlen;
+    memcpy(&xlen, in + off + 10, 2);
+    size_t xoff = off + 12, xend = xoff + xlen;
+    int64_t bsize = -1;
+    while (xoff + 4 <= xend) {
+      uint8_t si1 = in[xoff], si2 = in[xoff + 1];
+      uint16_t slen;
+      memcpy(&slen, in + xoff + 2, 2);
+      if (si1 == 66 && si2 == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, in + xoff + 4, 2);
+        bsize = (int64_t)bs + 1;
+      }
+      xoff += 4 + slen;
+    }
+    if (bsize < 0 || off + (size_t)bsize > n) return -1;
+    BgzfBlock b;
+    b.in_off = off + 12 + xlen;
+    b.in_len = (size_t)bsize - 12 - xlen - 8;
+    memcpy(&b.crc, in + off + bsize - 8, 4);
+    memcpy(&b.isize, in + off + bsize - 4, 4);
+    b.out_off = out;
+    out += b.isize;
+    blocks.push_back(b);
+    off += bsize;
+  }
+  *total_out = out;
+  return (int64_t)blocks.size();
+}
+
+// Pass 1: report decompressed size (-1 = error).
+int64_t kbbq_bgzf_size(const uint8_t* in, size_t n) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (scan_blocks(in, n, blocks, &total) < 0) return -1;
+  return (int64_t)total;
+}
+
+// Pass 2: decompress all blocks into out (must be kbbq_bgzf_size bytes).
+// Returns 0 on success.
+int32_t kbbq_bgzf_decompress(const uint8_t* in, size_t n, uint8_t* out,
+                             size_t out_len, int32_t nthreads) {
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (scan_blocks(in, n, blocks, &total) < 0 || total != out_len) return -1;
+  if (nthreads < 1) nthreads = 1;
+  std::vector<int32_t> errs(nthreads, 0);
+  auto work = [&](int t) {
+    for (size_t i = t; i < blocks.size(); i += nthreads) {
+      const BgzfBlock& b = blocks[i];
+      z_stream zs;
+      memset(&zs, 0, sizeof zs);
+      if (inflateInit2(&zs, -15) != Z_OK) { errs[t] = 1; return; }
+      zs.next_in = const_cast<Bytef*>(in + b.in_off);
+      zs.avail_in = (uInt)b.in_len;
+      zs.next_out = out + b.out_off;
+      zs.avail_out = b.isize;
+      int r = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (r != Z_STREAM_END && !(r == Z_OK && b.isize == 0) &&
+          !(r == Z_BUF_ERROR && b.isize == 0)) { errs[t] = 2; return; }
+      if (crc32(0, out + b.out_off, b.isize) != b.crc) { errs[t] = 3; return; }
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nthreads; t++) ths.emplace_back(work, t);
+  for (auto& th : ths) th.join();
+  for (int e : errs) if (e) return e;
+  return 0;
+}
+
+// Compress into BGZF blocks (+ EOF). Caller provides out buffer of
+// capacity out_cap; returns bytes written or -1 if out of space.
+int64_t kbbq_bgzf_compress(const uint8_t* in, size_t n, uint8_t* out,
+                           size_t out_cap, int32_t level,
+                           int32_t nthreads) {
+  const size_t CHUNK = 0xff00;
+  size_t nblocks = (n + CHUNK - 1) / CHUNK;
+  if (nblocks == 0) nblocks = 0;
+  if (nthreads < 1) nthreads = 1;
+
+  std::vector<std::vector<uint8_t>> outs(nblocks);
+  std::vector<int32_t> errs(nthreads, 0);
+  auto work = [&](int t) {
+    for (size_t i = t; i < nblocks; i += nthreads) {
+      size_t s = i * CHUNK;
+      size_t len = (s + CHUNK <= n) ? CHUNK : n - s;
+      uint8_t cbuf[0x11000];
+      z_stream zs;
+      memset(&zs, 0, sizeof zs);
+      if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) { errs[t] = 1; return; }
+      zs.next_in = const_cast<Bytef*>(in + s);
+      zs.avail_in = (uInt)len;
+      zs.next_out = cbuf;
+      zs.avail_out = sizeof cbuf;
+      int r = deflate(&zs, Z_FINISH);
+      size_t clen = sizeof cbuf - zs.avail_out;
+      deflateEnd(&zs);
+      if (r != Z_STREAM_END) { errs[t] = 2; return; }
+      size_t bsize = clen + 12 + 6 + 8;
+      std::vector<uint8_t>& o = outs[i];
+      o.resize(bsize);
+      uint8_t hdr[18] = {31, 139, 8, 4, 0, 0, 0, 0, 0, 255, 6, 0,
+                         66, 67, 2, 0, 0, 0};
+      uint16_t bs16 = (uint16_t)(bsize - 1);
+      memcpy(hdr + 16, &bs16, 2);
+      memcpy(o.data(), hdr, 18);
+      memcpy(o.data() + 18, cbuf, clen);
+      uint32_t crc = crc32(0, in + s, (uInt)len);
+      uint32_t il = (uint32_t)len;
+      memcpy(o.data() + 18 + clen, &crc, 4);
+      memcpy(o.data() + 18 + clen + 4, &il, 4);
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 0; t < nthreads; t++) ths.emplace_back(work, t);
+  for (auto& th : ths) th.join();
+  for (int e : errs) if (e) return -2;
+
+  static const uint8_t EOF_MARKER[28] = {
+      0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+      0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0, 0, 0, 0, 0,
+      0, 0, 0, 0};
+  size_t pos = 0;
+  for (auto& o : outs) {
+    if (pos + o.size() > out_cap) return -1;
+    memcpy(out + pos, o.data(), o.size());
+    pos += o.size();
+  }
+  if (pos + 28 > out_cap) return -1;
+  memcpy(out + pos, EOF_MARKER, 28);
+  return (int64_t)(pos + 28);
+}
+
+// --------------------------------------------------------------- FASTQ
+
+// Scan a FASTQ buffer for record line offsets.  Writes 8 int64 per
+// record: name_start, name_end, seq_start, seq_end, plus_start(unused=0),
+// 0, qual_start, qual_end.  Returns record count, or -1-errpos on error.
+int64_t kbbq_fastq_index(const uint8_t* buf, size_t n, int64_t* out,
+                         size_t cap_records) {
+  size_t off = 0;
+  int64_t nrec = 0;
+  while (off < n) {
+    if (buf[off] != '@') return -1;
+    const uint8_t* p1 = (const uint8_t*)memchr(buf + off, '\n', n - off);
+    if (!p1) return -1;
+    size_t name_s = off + 1, name_e = p1 - buf;
+    size_t seq_s = name_e + 1;
+    const uint8_t* p2 = (const uint8_t*)memchr(buf + seq_s, '\n', n - seq_s);
+    if (!p2) return -1;
+    size_t seq_e = p2 - buf;
+    size_t plus_s = seq_e + 1;
+    if (plus_s >= n || buf[plus_s] != '+') return -1;
+    const uint8_t* p3 = (const uint8_t*)memchr(buf + plus_s, '\n',
+                                               n - plus_s);
+    if (!p3) return -1;
+    size_t qual_s = (p3 - buf) + 1;
+    if (qual_s >= n) return -1;
+    const uint8_t* p4 = (const uint8_t*)memchr(buf + qual_s, '\n',
+                                               n - qual_s);
+    size_t qual_e = p4 ? (size_t)(p4 - buf) : n;
+    if (qual_e - qual_s != seq_e - seq_s) return -1;
+    if ((size_t)nrec < cap_records) {
+      int64_t* r = out + nrec * 8;
+      r[0] = (int64_t)name_s; r[1] = (int64_t)name_e;
+      r[2] = (int64_t)seq_s;  r[3] = (int64_t)seq_e;
+      r[4] = 0;               r[5] = 0;
+      r[6] = (int64_t)qual_s; r[7] = (int64_t)qual_e;
+    }
+    nrec++;
+    off = qual_e + 1;
+  }
+  return nrec;
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""ctypes bindings for the native IO codec (libkbbq_io.so).
+
+Falls back to None if the library isn't built; callers (bgzf.py,
+fastq.py) gracefully use the pure-Python/NumPy paths.  Build with
+`make -C kbbq_tpu/io/native` (done automatically on first import when a
+compiler is present).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(__file__), "native")
+_SO = os.path.join(_DIR, "libkbbq_io.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _DIR], capture_output=True,
+                           timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO)
+    except Exception:
+        return False
+
+
+def get_lib():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.kbbq_bgzf_size.restype = ctypes.c_int64
+    lib.kbbq_bgzf_size.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.kbbq_bgzf_decompress.restype = ctypes.c_int32
+    lib.kbbq_bgzf_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_int32]
+    lib.kbbq_bgzf_compress.restype = ctypes.c_int64
+    lib.kbbq_bgzf_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+        ctypes.c_size_t, ctypes.c_int32, ctypes.c_int32]
+    lib.kbbq_fastq_index.restype = ctypes.c_int64
+    lib.kbbq_fastq_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+    _lib = lib
+    return _lib
+
+
+def default_threads() -> int:
+    return max(1, (os.cpu_count() or 2) - 1)
+
+
+def bgzf_decompress(data: bytes) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    size = lib.kbbq_bgzf_size(data, len(data))
+    if size < 0:
+        raise ValueError("native BGZF scan failed")
+    out = np.empty(size, dtype=np.uint8)
+    rc = lib.kbbq_bgzf_decompress(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), size,
+        default_threads())
+    if rc != 0:
+        raise ValueError(f"native BGZF decompress failed (code {rc})")
+    return out.tobytes()
+
+
+def bgzf_compress(data: bytes, level: int = 6) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = len(data) + (len(data) // 0xFF00 + 2) * 64 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.kbbq_bgzf_compress(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), cap,
+        level, default_threads())
+    if n < 0:
+        raise ValueError(f"native BGZF compress failed ({n})")
+    return out[:n].tobytes()
+
+
+def fastq_index(buf: np.ndarray):
+    """-> int64 [N, 8] record offsets, or None if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = buf.tobytes() if isinstance(buf, np.ndarray) else bytes(buf)
+    n = lib.kbbq_fastq_index(data, len(data), None, 0)
+    if n < 0:
+        raise ValueError("native FASTQ scan: malformed input")
+    out = np.empty((int(n), 8), dtype=np.int64)
+    n2 = lib.kbbq_fastq_index(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), int(n))
+    assert n2 == n
+    return out

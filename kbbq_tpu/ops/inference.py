@@ -263,10 +263,7 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
     return err | rc_err[:, ::-1]
 
 
-# Kept for API compatibility: the round-based kernel handles full batches
-# in one call; chunking is no longer needed for performance, but remains
-# available for memory control.
-WALK_CHUNK = 2048
+WALK_CHUNK = 1024
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
@@ -278,3 +275,30 @@ def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
     outs = [infer_errors_batch(rows, codes[s:s + chunk], k, num_hashes)
             for s in range(0, B, chunk)]
     return jnp.concatenate(outs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "chunk"))
+def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
+                        chunk: int = WALK_CHUNK) -> jax.Array:
+    """Difficulty-sorted chunked inference (bit-identical output).
+
+    The rounds loop runs (max breaks over the chunk) rounds, so one junk
+    read drags every lane of its chunk.  Sorting reads by their initial
+    untrusted-window count groups hard reads together: total rounds drop
+    from n_chunks x global-max to roughly the integral of the difficulty
+    distribution.  Everything stays on device (argsort + gather + inverse
+    scatter); the extra cost is one vectorized filter query (cheap).
+    """
+    B, L = codes.shape
+    if B <= chunk:
+        return infer_errors_batch(rows, codes, k, num_hashes)
+    hi, lo, valid = canonical_kmers_batch(codes, k)
+    tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
+    nbreaks = jnp.sum(valid & ~tr, axis=1)
+    order = jnp.argsort(nbreaks)
+    sorted_codes = codes[order]
+    outs = [infer_errors_batch(rows, sorted_codes[s:s + chunk],
+                               k, num_hashes)
+            for s in range(0, B, chunk)]
+    err_sorted = jnp.concatenate(outs, axis=0)
+    return jnp.zeros_like(err_sorted).at[order].set(err_sorted)

@@ -30,7 +30,7 @@ from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
 from ..ops.covariate import accumulate_covariates
-from ..ops.inference import infer_errors_chunked
+from ..ops.inference import infer_errors_sorted
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table
 from ..ops.trusted import trusted_mask_batch
@@ -144,7 +144,7 @@ class RecalPipeline:
         for bi, b in enumerate(batches):
             t0 = time.time()
             codes = jnp.asarray(b.codes)
-            errors = infer_errors_chunked(self.rows_b, codes, k, h)
+            errors = infer_errors_sorted(self.rows_b, codes, k, h)
             t1 = time.time()
             self.cov.device_state = _accumulate_donated(
                 self.cov.device_state, codes, jnp.asarray(b.quals),
@@ -184,8 +184,13 @@ class RecalPipeline:
 
 
 def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
-                       start_ordinal: int = 0) -> np.ndarray:
-    """Full single-chip pipeline over in-memory arrays -> new quals [N, L]."""
+                       start_ordinal: int = 0,
+                       checkpoint_dir: str | None = None) -> np.ndarray:
+    """Full single-chip pipeline over in-memory arrays -> new quals [N, L].
+
+    With checkpoint_dir, completed passes are saved at their boundaries
+    (SURVEY.md §6) and a rerun resumes from the first incomplete pass.
+    """
     k = config.k
     lens = arrays.mask.sum(axis=1)
     total_bases = int(lens.sum())
@@ -194,9 +199,38 @@ def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
     pipe = RecalPipeline(config, num_rg, arrays.max_len, total_bases,
                          total_kmers)
     mk = lambda: Batcher(arrays, config.batch_size, start_ordinal)
-    pipe.run_pass1(mk())
-    pipe.run_pass2(mk())
-    pipe.run_pass3(mk())
+
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint
+        ckpt = Checkpoint(checkpoint_dir)
+
+    loaded = ckpt.load_bloom("bloom_a") if ckpt else None
+    if loaded is not None:
+        pipe.bloom_a = loaded
+        pipe.rows_a = bloom_rows(loaded.slots)
+    else:
+        pipe.run_pass1(mk())
+        if ckpt:
+            ckpt.save_bloom("bloom_a", pipe.bloom_a)
+
+    loaded = ckpt.load_bloom("bloom_b") if ckpt else None
+    if loaded is not None:
+        pipe.bloom_b = loaded
+        pipe.rows_b = bloom_rows(loaded.slots)
+    else:
+        pipe.run_pass2(mk())
+        if ckpt:
+            ckpt.save_bloom("bloom_b", pipe.bloom_b)
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        pipe.cov.totals = loaded
+    else:
+        pipe.run_pass3(mk())
+        if ckpt:
+            ckpt.save_covariates(pipe.cov.totals)
+
     pipe.compute_recal_table()
     return pipe.run_pass4(mk())
 

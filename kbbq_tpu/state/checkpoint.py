@@ -1,0 +1,83 @@
+"""Pass-boundary checkpoint/resume (SURVEY.md §6).
+
+The reference holds all state in RAM for the run; our natural checkpoints
+are the pass boundaries — Bloom A, Bloom B and the covariate totals are
+each a small dense array.  A checkpoint directory holds:
+
+  meta.json                 config + progress (which passes completed)
+  bloom_a.{json,slots.npy}  after pass 1
+  bloom_b.{json,slots.npy}  after pass 2
+  cov_*.npy                 covariate totals after pass 3
+
+Resume = reload + continue from the first incomplete pass; a multi-host
+failure rolls back to the last saved pass (SURVEY.md §6 failure row).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from ..oracle.covariate import CovariateTables
+from .bloom import BloomState
+
+_COV_FIELDS = ("cyc_total", "cyc_errors", "din_total", "din_errors")
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    path: str
+
+    def _meta_path(self):
+        return os.path.join(self.path, "meta.json")
+
+    def load_meta(self) -> dict:
+        try:
+            with open(self._meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"passes_done": []}
+
+    def save_meta(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path())
+
+    # ------------------------------------------------------------ passes
+    def save_bloom(self, name: str, state: BloomState) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        state.save(os.path.join(self.path, name))
+        meta = self.load_meta()
+        if name not in meta["passes_done"]:
+            meta["passes_done"].append(name)
+        self.save_meta(meta)
+
+    def load_bloom(self, name: str) -> BloomState | None:
+        if name not in self.load_meta()["passes_done"]:
+            return None
+        return BloomState.load(os.path.join(self.path, name))
+
+    def save_covariates(self, tables: CovariateTables) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        for f in _COV_FIELDS:
+            np.save(os.path.join(self.path, f"cov_{f}.npy"),
+                    getattr(tables, f))
+        meta = self.load_meta()
+        meta["cov"] = {"num_rg": tables.num_rg, "max_len": tables.max_len}
+        if "covariates" not in meta["passes_done"]:
+            meta["passes_done"].append("covariates")
+        self.save_meta(meta)
+
+    def load_covariates(self) -> CovariateTables | None:
+        meta = self.load_meta()
+        if "covariates" not in meta["passes_done"]:
+            return None
+        arrs = {f: np.load(os.path.join(self.path, f"cov_{f}.npy"))
+                for f in _COV_FIELDS}
+        return CovariateTables(meta["cov"]["num_rg"],
+                               meta["cov"]["max_len"], **arrs)

@@ -198,6 +198,9 @@ def test_infer_errors_chunked_matches_plain():
     plain = np.asarray(infer_errors_batch(rows, codes, k, 7))
     chunked = np.asarray(infer_errors_chunked(rows, codes, k, 7, chunk=32))
     assert (plain == chunked).all()
+    from kbbq_tpu.ops.inference import infer_errors_sorted
+    srt = np.asarray(infer_errors_sorted(rows, codes, k, 7, chunk=32))
+    assert (plain == srt).all()
     # empty-filter corner: no anchors anywhere -> nothing marked
     empty = jnp.zeros_like(rows)
     got = np.asarray(infer_errors_batch(empty, codes, k, 7))
