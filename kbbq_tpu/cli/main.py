@@ -14,9 +14,12 @@ from ..constants import DEFAULT_K
 
 
 def _add_recal_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("input", help="input FASTQ (.fq[.gz]) or BAM")
-    p.add_argument("-o", "--output", default="-",
-                   help="output path (default stdout)")
+    p.add_argument("input", nargs="+",
+                   help="input FASTQ(s) (.fq[.gz]; each file = one read "
+                        "group) or a BAM")
+    p.add_argument("-o", "--output", action="append", default=None,
+                   help="output path (repeat for multiple inputs; "
+                        "default stdout)")
     p.add_argument("-k", "--kmer-size", type=int, default=DEFAULT_K,
                    help=f"k-mer size, <=32 (default {DEFAULT_K})")
     p.add_argument("-g", "--genome-length", type=int, default=None,
@@ -33,6 +36,8 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
                    help="reads per device batch")
     p.add_argument("--devices", type=int, default=None,
                    help="number of devices to use (default: all)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="save/resume pass-boundary checkpoints here")
 
 
 def cmd_recalibrate(args) -> int:
@@ -41,15 +46,20 @@ def cmd_recalibrate(args) -> int:
     cfg = RecalConfig(
         k=args.kmer_size, alpha=args.alpha, coverage=args.coverage,
         genome_length=args.genome_length, batch_size=args.batch_size)
-    out = sys.stdout.buffer if args.output == "-" else args.output
+    outs = args.output or ["-"]
+    outs = [sys.stdout.buffer if o == "-" else o for o in outs]
     t0 = time.time()
-    if args.input.endswith((".bam", ".sam")):
+    if args.input[0].endswith((".bam", ".sam")):
+        if len(args.input) != 1:
+            raise SystemExit("BAM mode takes exactly one input")
         from ..pipeline.bam import recalibrate_bam
-        stats = recalibrate_bam(args.input, out, cfg,
+        stats = recalibrate_bam(args.input[0], outs[0], cfg,
                                 use_oq=args.use_oq, set_oq=args.set_oq)
     else:
         from ..pipeline import recalibrate_fastq
-        stats = recalibrate_fastq(args.input, out, cfg)
+        stats = recalibrate_fastq(
+            args.input, outs if len(outs) > 1 else outs[0], cfg,
+            checkpoint_dir=args.checkpoint_dir)
     dt = time.time() - t0
     print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
           f"({stats['total_bases']} bases) in {dt:.2f}s "
@@ -102,6 +112,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import os
+    platform = os.environ.get("KBBQ_PLATFORM")
+    if platform:
+        # the axon TPU plugin ignores JAX_PLATFORMS; the config API works
+        # when applied before first backend use (docs/KNOWN_ISSUES.md #3)
+        import jax
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

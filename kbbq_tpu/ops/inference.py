@@ -106,8 +106,8 @@ def _next_break(teff, valid, x, n):
     return jnp.min(jnp.where(mask, i, n), axis=1)
 
 
-def _walk_rounds(rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
-                 rev_ties):
+def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
+                 rev_ties, reduce_any=jnp.any):
     """All rounds of one directional walk on full-batch state.
 
     work: int8 [B, L+2k]; lanes: 4x uint32 [B, n+k] + valid bool [B, n+k];
@@ -124,7 +124,10 @@ def _walk_rounds(rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
     cand = jnp.arange(4, dtype=_i32)
 
     def cond(st):
-        return jnp.any(st[0] < n)
+        # reduce_any must be GLOBAL when query_fn contains collectives
+        # (a device-local condition deadlocks the rendezvous when devices
+        # disagree on the trip count)
+        return reduce_any(st[0] < n)
 
     def body(st):
         j, work, fhi, flo, rhi, rlo, teff, err = st
@@ -144,7 +147,7 @@ def _walk_rounds(rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
         pr_hi, pr_lo = _patch_lanes(wr_hi[:, None], wr_lo[:, None],
                                     bit_r, _u32(3) - cval)
         chi, clo = canonical_from_lanes(pf_hi, pf_lo, pr_hi, pr_lo)
-        q = bloom_query_rows(rows, chi, clo, num_hashes)    # [B, 4, k]
+        q = query_fn(chi, clo)                              # [B, 4, k]
         q = q & wvalid[:, None] & (t_vec[None] < (n - jc)[:, None, None])
         ext = _leading_true(q)                              # [B, 4]
 
@@ -201,22 +204,20 @@ def _walk_rounds(rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
     return work, (fhi, flo, rhi, rlo, valid), teff, err
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_hashes"))
-def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
-                       num_hashes: int) -> jax.Array:
-    """Error mask per base for a batch (D7).
-
-    Args:
-      rows: uint32 [R, 8] trusted-filter row view (ops.bloom.bloom_rows).
-      codes: int8 [B, L] base codes (pads are 4).
-    Returns: bool [B, L].
+def infer_errors_core(query_fn, codes: jax.Array, k: int,
+                      reduce_any=jnp.any) -> jax.Array:
+    """Error mask per base for a batch (D7), generic over the trusted-
+    filter query: query_fn(hi, lo) -> bool hits.  Used directly by the
+    hash-space-sharded pipeline (whose query is a collective; it must
+    also pass a globally-reduced `reduce_any` so every device runs the
+    same number of rounds); single-chip callers use infer_errors_batch.
     """
     B, L = codes.shape
     n = L - k + 1
 
     fhi, flo, rhi, rlo, valid = kmer_lanes_batch(codes, k)
     hi, lo = canonical_from_lanes(fhi, flo, rhi, rlo)
-    trusted0 = bloom_query_rows(rows, hi, lo, num_hashes) & valid
+    trusted0 = query_fn(hi, lo) & valid
 
     any_valid = valid.any(axis=1)
     all_tr = jnp.all(trusted0 | ~valid, axis=1)
@@ -237,8 +238,8 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
     x0 = jnp.where(active, b + 1, n)
     j0 = _next_break(teff, valid, x0, n)
     work, lanes, teff, err = _walk_rounds(
-        rows, work, lanes, teff, err, j0, k, num_hashes, n, L,
-        rev_ties=False)
+        query_fn, work, lanes, teff, err, j0, k, n, L,
+        rev_ties=False, reduce_any=reduce_any)
 
     # leftward walk == rightward walk on the reverse complement; RC lane
     # state is the flipped (rc, fwd) pair, RC trust is flipped trust —
@@ -258,9 +259,18 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
     x0_rc = jnp.where(active, n - a, n)
     j0_rc = _next_break(rc_teff, flip(vv), x0_rc, n)
     _, _, _, rc_err = _walk_rounds(
-        rows, rc_work, rc_lanes, rc_teff, rc_err, j0_rc, k, num_hashes,
-        n, L, rev_ties=True)
+        query_fn, rc_work, rc_lanes, rc_teff, rc_err, j0_rc, k,
+        n, L, rev_ties=True, reduce_any=reduce_any)
     return err | rc_err[:, ::-1]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes"))
+def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
+                       num_hashes: int) -> jax.Array:
+    """infer_errors_core against a local packed filter (uint32 [m/32]
+    from ops.bloom.bloom_rows)."""
+    qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
+    return infer_errors_core(qf, codes, k)
 
 
 WALK_CHUNK = 1024

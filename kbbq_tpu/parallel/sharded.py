@@ -64,7 +64,7 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh,
-            in_specs=(P(None, None), P(R, None), P(R, None), P()),
+            in_specs=(P(None), P(R, None), P(R, None), P()),
             out_specs=P(R, None))
     def step_trusted(rows_a, slots_b_dm, codes, t_table):
         hi, lo, valid = canonical_kmers_batch(codes, k)
@@ -74,7 +74,7 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh,
-            in_specs=(P(None, None), {k_: P(R, *([None] * 3)) for k_ in
+            in_specs=(P(None), {k_: P(R, *([None] * 3)) for k_ in
                             ("cyc_total", "cyc_errors",
                              "din_total", "din_errors")},
                       P(R, None), P(R, None), P(R, None), P(R), P(R)),
@@ -105,9 +105,9 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
         # all-reduce max over the replica axis -> replicated uint32 row
         # view [R, 8] for the query passes
         merged = jnp.max(slots_dm, axis=0)
-        rows = bloom_rows(merged)
+        packed = bloom_rows(merged)
         return jax.lax.with_sharding_constraint(
-            rows, NamedSharding(mesh, P(None, None)))
+            packed, NamedSharding(mesh, P(None)))
 
     return {
         "sample": step_sample,

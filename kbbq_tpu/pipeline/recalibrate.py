@@ -235,17 +235,52 @@ def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
     return pipe.run_pass4(mk())
 
 
-def recalibrate_fastq(in_path: str, out_path, config: RecalConfig) -> dict:
-    """FASTQ -> FASTQ recalibration (the reference CLI's main flow)."""
+def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
+                      checkpoint_dir: str | None = None) -> dict:
+    """FASTQ -> FASTQ recalibration (the reference CLI's main flow).
+
+    Accepts one path or a list; each input file is its own read group
+    (DECISIONS.md D8).  out_paths: matching list, a single path, or a
+    writable (outputs concatenated in input order).
+    """
     from ..io.fastq import extract_padded_arrays, read_fastq, \
         write_fastq_with_quals
 
-    fq = read_fastq(in_path)
-    codes, quals, mask, lens = extract_padded_arrays(fq)
-    arrays = ReadArrays(codes, quals, mask,
-                        np.zeros(fq.num_reads, np.int32),
-                        fq.seconds_mask())
-    new_quals = recalibrate_arrays(arrays, config)
-    write_fastq_with_quals(fq, new_quals, mask, out_path)
-    return {"num_reads": fq.num_reads,
-            "total_bases": int(mask.sum())}
+    if isinstance(in_paths, (str, bytes)):
+        in_paths = [in_paths]
+    fqs = [read_fastq(p) for p in in_paths]
+    parts = [extract_padded_arrays(fq) for fq in fqs]
+    max_len = max((p[0].shape[1] for p in parts if p[0].shape[0]),
+                  default=1)
+    codes_l, quals_l, mask_l, rg_l, sec_l = [], [], [], [], []
+    for rg, (fq, (codes, quals, mask, lens)) in enumerate(zip(fqs, parts)):
+        pad = max_len - codes.shape[1]
+        if pad:
+            codes = np.pad(codes, ((0, 0), (0, pad)), constant_values=4)
+            quals = np.pad(quals, ((0, 0), (0, pad)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        codes_l.append(codes)
+        quals_l.append(quals)
+        mask_l.append(mask)
+        rg_l.append(np.full(fq.num_reads, rg, np.int32))
+        sec_l.append(fq.seconds_mask())
+    arrays = ReadArrays(np.concatenate(codes_l), np.concatenate(quals_l),
+                        np.concatenate(mask_l), np.concatenate(rg_l),
+                        np.concatenate(sec_l))
+    new_quals = recalibrate_arrays(arrays, config,
+                                   checkpoint_dir=checkpoint_dir)
+
+    if isinstance(out_paths, (str, bytes)) or not isinstance(
+            out_paths, (list, tuple)):
+        out_paths = [out_paths] * len(fqs)
+    if len(out_paths) != len(fqs):
+        raise ValueError("need one output per input (or a single sink)")
+    s = 0
+    for fq, mask, out in zip(fqs, mask_l, out_paths):
+        e = s + fq.num_reads
+        write_fastq_with_quals(fq, new_quals[s:e], mask[:fq.num_reads],
+                               out)
+        s = e
+    return {"num_reads": arrays.num_reads,
+            "total_bases": int(arrays.mask.sum()),
+            "read_groups": len(fqs)}

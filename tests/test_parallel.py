@@ -40,3 +40,15 @@ def test_batch_size_must_divide_devices(arrays):
     cfg = RecalConfig(k=16, coverage=20.0, batch_size=63)
     with pytest.raises(ValueError, match="not divisible"):
         sharded_recalibrate_arrays(arrays, cfg, mesh=mesh)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_bloom_matches_single_chip(arrays, single_chip_quals, ndev):
+    """Hash-space-sharded filter (config 4) is bit-identical too."""
+    from kbbq_tpu.parallel.sharded_bloom import \
+        sharded_bloom_recalibrate_arrays
+    mesh = make_mesh(ndev)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    got = sharded_bloom_recalibrate_arrays(arrays, cfg, mesh=mesh)
+    assert got.shape == single_chip_quals.shape
+    assert (got == single_chip_quals).all()
