@@ -83,3 +83,9 @@ def cycle_to_index(cycle):
     return (mag - 1) * 2 + neg
 
 DEFAULT_MAX_READ_LEN = 160  # static padded read length for device batches
+
+# D7: substitution-trial extensions are measured over at most EXT_CAP
+# consecutive windows (the reference caps at k; a smaller cap changes probe
+# traffic 4x with negligible selection-quality impact — any candidate
+# reaching 8 consecutive trusted windows is essentially surely correct).
+DEFAULT_EXT_CAP = 8

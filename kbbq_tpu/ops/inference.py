@@ -114,11 +114,14 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     teff: bool [B, n] effective trust; err: bool [B, L]; j0: [B] cursor
     (n = done).  Returns (work, lanes, teff, err).
     """
+    from ..constants import DEFAULT_EXT_CAP
+    W = min(DEFAULT_EXT_CAP, k)  # trial-extension cap (D7)
     B = work.shape[0]
     fhi, flo, rhi, rlo, valid = lanes
     validn = valid[:, :n]
     brows = jax.lax.broadcasted_iota(_i32, (B, k), 0)
     t_vec = jax.lax.broadcasted_iota(_i32, (1, k), 1)
+    tw_vec = t_vec[:, :W]
     bit_f = (2 * t_vec)[None]                       # [1, 1, k]
     bit_r = (2 * (k - 1 - t_vec))[None]
     cand = jnp.arange(4, dtype=_i32)
@@ -147,8 +150,12 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         pr_hi, pr_lo = _patch_lanes(wr_hi[:, None], wr_lo[:, None],
                                     bit_r, _u32(3) - cval)
         chi, clo = canonical_from_lanes(pf_hi, pf_lo, pr_hi, pr_lo)
-        q = query_fn(chi, clo)                              # [B, 4, k]
-        q = q & wvalid[:, None] & (t_vec[None] < (n - jc)[:, None, None])
+        # only the first W windows are queried (ext caps at W, D7): the
+        # serialized TPU gather dominates round cost, so probe traffic
+        # shrinks k/W-fold; lanes are still patched for all k windows
+        q = query_fn(chi[:, :, :W], clo[:, :, :W])          # [B, 4, W]
+        q = q & wvalid[:, None, :W] & \
+            (tw_vec[None] < (n - jc)[:, None, None])
         ext = _leading_true(q)                              # [B, 4]
 
         e_orig = jnp.take_along_axis(ext, orig[:, None], 1)[:, 0]
@@ -175,13 +182,22 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         rhi = wrt(rhi, pick(pr_hi), wr_hi)
         rlo = wrt(rlo, pick(pr_lo), wr_lo)
 
-        # effective trust of the k re-queried windows (current state)
-        q_ch = jnp.take_along_axis(q, ch, 1)[:, 0]            # [B, k]
+        # effective trust: windows t < W carry fresh query results; patched
+        # windows t >= W on a commit become UNKNOWN -> conservatively
+        # untrusted (the cursor will stop there and re-query; a false
+        # break is resolved by the trusted_here path, matching the
+        # oracle's per-window trust check)
+        q_ch = jnp.take_along_axis(q, ch, 1)[:, 0]            # [B, W]
+        q_ext = jnp.concatenate(
+            [q_ch, jnp.zeros((B, k - W), bool)], 1) if W < k else q_ch
         in_n = idxs < n
         old_te = jnp.take_along_axis(
             jnp.concatenate(
                 [teff, jnp.zeros((B, k), bool)], 1), idxs, 1)
-        te_new = jnp.where(active[:, None] & in_n, q_ch, old_te)
+        known = t_vec < W                                     # [1, k]
+        upd = jnp.where(known, q_ext,
+                        jnp.where(commit[:, None], False, old_te))
+        te_new = jnp.where(active[:, None] & in_n, upd, old_te)
         teff = jnp.concatenate([teff, jnp.zeros((B, k), bool)], 1) \
             .at[brows, idxs].set(te_new)[:, :n]
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import BASE_N, P_FALSE_COVER
+from ..constants import BASE_N, DEFAULT_EXT_CAP, P_FALSE_COVER
 from .bloom import OracleBloom
 from .kmers import canonical_kmers
 
@@ -129,10 +129,13 @@ def infer_read_errors(codes: np.ndarray, k: int, trusted: OracleBloom) -> np.nda
     if a < 0:
         return errors  # no anchor: totals only (D7 step 3)
 
+    W = min(DEFAULT_EXT_CAP, k)
+
     def ext_right(j: int) -> int:
-        """# consecutive trusted k-mers starting at j on work seq, cap k."""
+        """# consecutive trusted k-mers starting at j on work seq, cap W
+        (DECISIONS.md D7; W = DEFAULT_EXT_CAP)."""
         cnt = 0
-        for jj in range(j, min(j + k, n)):
+        for jj in range(j, min(j + W, n)):
             if not _query_window(trusted, work, jj, k):
                 break
             cnt += 1
@@ -140,7 +143,7 @@ def infer_read_errors(codes: np.ndarray, k: int, trusted: OracleBloom) -> np.nda
 
     def ext_left(j: int) -> int:
         cnt = 0
-        for jj in range(j, max(j - k, -1), -1):
+        for jj in range(j, max(j - W, -1), -1):
             if not _query_window(trusted, work, jj, k):
                 break
             cnt += 1
