@@ -99,6 +99,42 @@ def _patch_lanes(hi, lo, bitpos, val):
     return jnp.where(in_hi, nhi, hi), jnp.where(in_hi, lo, nlo)
 
 
+def _roll_rows_left(a: jax.Array, shift: jax.Array) -> jax.Array:
+    """Per-row circular left roll by `shift` [B] (barrel shifter).
+
+    log2(S) masked static rolls instead of a gather: TPU gathers run
+    serialized (~7ns/element, device-trace measured), while static rolls
+    are cheap lane shifts — ~30x faster for [B, k]-window access.
+    """
+    S = a.shape[1]
+    out = a
+    b = 1
+    while b < S:
+        rolled = jnp.roll(out, -b, axis=1)
+        out = jnp.where((shift & b)[:, None] != 0, rolled, out)
+        b <<= 1
+    return out
+
+
+def _take_win(a: jax.Array, j: jax.Array, width: int) -> jax.Array:
+    """a[b, j[b]:j[b]+width] for every row b (j + width <= S)."""
+    return _roll_rows_left(a, j)[:, :width]
+
+
+def _put_win(a: jax.Array, j: jax.Array, vals: jax.Array) -> jax.Array:
+    """Write vals [B, w] at a[b, j[b]:j[b]+w] (barrel-shifted select)."""
+    B, S = a.shape
+    w = vals.shape[1]
+    pad = jnp.concatenate(
+        [vals, jnp.zeros((B, S - w), vals.dtype)], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, w), bool), jnp.zeros((B, S - w), bool)], axis=1)
+    back = (S - j) % S
+    pad_r = _roll_rows_left(pad, back)
+    mask_r = _roll_rows_left(mask, back)
+    return jnp.where(mask_r, pad_r, a)
+
+
 def _next_break(teff, valid, x, n):
     """First index i >= x with valid[i] & ~teff[i], else n.  [B] int32."""
     i = jax.lax.broadcasted_iota(_i32, teff.shape, 1)
@@ -140,7 +176,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         orig = jnp.take_along_axis(work, p[:, None], 1)[:, 0].astype(_i32)
 
         idxs = jc[:, None] + t_vec                  # [B, k] window ids
-        sl = lambda a: jnp.take_along_axis(a, idxs, 1)
+        sl = lambda a: _take_win(a, jc, k)          # barrel-shift gather
         wf_hi, wf_lo, wr_hi, wr_lo = sl(fhi), sl(flo), sl(rhi), sl(rlo)
         wvalid = sl(valid)
 
@@ -175,8 +211,8 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         # write the chosen candidate's patched lanes back on commit
         ch = chosen[:, None, None]
         pick = lambda a: jnp.take_along_axis(a, ch, 1)[:, 0]  # [B, k]
-        wrt = lambda a, pa, old: a.at[brows, idxs].set(
-            jnp.where(commit[:, None], pa, old))
+        wrt = lambda a, pa, old: _put_win(
+            a, jc, jnp.where(commit[:, None], pa, old))
         fhi = wrt(fhi, pick(pf_hi), wf_hi)
         flo = wrt(flo, pick(pf_lo), wf_lo)
         rhi = wrt(rhi, pick(pr_hi), wr_hi)
@@ -191,15 +227,13 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         q_ext = jnp.concatenate(
             [q_ch, jnp.zeros((B, k - W), bool)], 1) if W < k else q_ch
         in_n = idxs < n
-        old_te = jnp.take_along_axis(
-            jnp.concatenate(
-                [teff, jnp.zeros((B, k), bool)], 1), idxs, 1)
+        teff_pad = jnp.concatenate([teff, jnp.zeros((B, k), bool)], 1)
+        old_te = _take_win(teff_pad, jc, k)
         known = t_vec < W                                     # [1, k]
         upd = jnp.where(known, q_ext,
                         jnp.where(commit[:, None], False, old_te))
         te_new = jnp.where(active[:, None] & in_n, upd, old_te)
-        teff = jnp.concatenate([teff, jnp.zeros((B, k), bool)], 1) \
-            .at[brows, idxs].set(te_new)[:, :n]
+        teff = _put_win(teff_pad, jc, te_new)[:, :n]
 
         # sequence + error mask
         newb = jnp.where(commit, chosen, orig).astype(jnp.int8)
