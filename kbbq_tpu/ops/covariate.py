@@ -68,9 +68,20 @@ def base_covariates(codes: jax.Array, quals: jax.Array, mask: jax.Array,
 def accumulate_covariates(state: dict, codes: jax.Array, quals: jax.Array,
                           mask: jax.Array, rgs: jax.Array,
                           seconds: jax.Array, errors: jax.Array) -> dict:
-    """Scatter one batch into the covariate tables.  state is donated by
-    the pipeline's jit wrapper; all four tables are updated functionally.
+    """Accumulate one batch into the covariate tables via one-hot int8
+    MXU matmuls (the north star's "one-hot scatter-adds", literally).
+
+    TPU scatter-add runs serialized (~7ns/element); histogramming as
+    int8 x int8 -> int32 contractions runs on the MXU instead:
+
+      cyc[rgq, cyc_idx] += sum_b onehot_rgq[b, l]         (cycle ~ l)
+      din[rgq, dinuc]   += onehot_rgq[B*L, :]^T @ onehot_din[B*L, :]
+
+    int32 sums of 0/1 are exact and commutative — bit-identical to the
+    scatter version under any order/sharding (SURVEY.md H5).  state is
+    donated by the pipeline's jit wrapper.
     """
+    B, L = codes.shape
     cv = base_covariates(codes, quals, mask, seconds)
     use = ~cv["skip"]
     err = errors & use
@@ -78,28 +89,53 @@ def accumulate_covariates(state: dict, codes: jax.Array, quals: jax.Array,
 
     nc = state["cyc_total"].shape[2]
     num_rg = state["cyc_total"].shape[0]
+    nrgq = num_rg * NUM_Q
 
-    # flat scatter indices; masked-out bases routed out of bounds + dropped
-    cyc_flat = (rg * NUM_Q + cv["q"]) * nc + cv["cyc"]
-    cyc_oob = jnp.int32(num_rg * NUM_Q * nc)
-    cyc_idx = jnp.where(use, cyc_flat, cyc_oob).reshape(-1)
+    rgq = rg * NUM_Q + cv["q"]                         # [B, L]
+    bins = jax.lax.broadcasted_iota(_i32, (1, 1, nrgq), 2)
+    oh_rgq = (rgq[:, :, None] == bins).astype(jnp.int8)  # [B, L, nrgq]
+    use8 = use.astype(jnp.int8)
+    err8 = err.astype(jnp.int8)
 
+    # ---- cycle tables: cycle index is a function of (l, second) ----
+    # split lanes by read-2 flag so each group has one cycle per column
+    def cyc_hist(weight8):
+        # [L, nrgq] per second-flag value; contraction over B on the MXU
+        w1 = weight8 * (~seconds)[:, None].astype(jnp.int8)
+        w2 = weight8 * seconds[:, None].astype(jnp.int8)
+        h1 = jnp.einsum("bl,blq->lq", w1, oh_rgq,
+                        preferred_element_type=_i32)
+        h2 = jnp.einsum("bl,blq->lq", w2, oh_rgq,
+                        preferred_element_type=_i32)
+        # scatter the L columns to their cycle indices: read1 col l ->
+        # 2l, read2 col l -> 2l+1 -- a static interleave, no gather
+        out = jnp.zeros((nc, nrgq), dtype=_i32)
+        out = out.at[0:2 * L:2].add(h1)
+        out = out.at[1:2 * L:2].add(h2)
+        return out.T.reshape(num_rg, NUM_Q, nc)
+
+    cyc_total = state["cyc_total"] + cyc_hist(use8)
+    cyc_errors = state["cyc_errors"] + cyc_hist(err8)
+
+    # ---- dinuc tables: [BL, nrgq]^T @ [BL, NUM_DINUC] ----
     din_ok = use & (cv["din"] != DINUC_INVALID)
-    din_flat = (rg * NUM_Q + cv["q"]) * NUM_DINUC + cv["din"]
-    din_oob = jnp.int32(num_rg * NUM_Q * NUM_DINUC)
-    din_idx = jnp.where(din_ok, din_flat, din_oob).reshape(-1)
+    dbins = jax.lax.broadcasted_iota(_i32, (1, 1, NUM_DINUC), 2)
+    oh_din = (cv["din"][:, :, None] == dbins).astype(jnp.int8)
+    flat_rgq = oh_rgq.reshape(B * L, nrgq)
 
-    one = jnp.ones_like(cyc_idx, dtype=_i32)
-    errf = err.reshape(-1).astype(_i32)
+    def din_hist(weight):
+        w = (oh_din * weight[:, :, None].astype(jnp.int8)) \
+            .reshape(B * L, NUM_DINUC)
+        return jnp.einsum("nq,nd->qd", flat_rgq, w,
+                          preferred_element_type=_i32) \
+            .reshape(num_rg, NUM_Q, NUM_DINUC)
 
-    def scat(table, idx, val):
-        shape = table.shape
-        return (table.reshape(-1).at[idx].add(val, mode="drop")
-                .reshape(shape))
+    din_total = state["din_total"] + din_hist(din_ok)
+    din_errors = state["din_errors"] + din_hist(err & din_ok)
 
     return {
-        "cyc_total": scat(state["cyc_total"], cyc_idx, one),
-        "cyc_errors": scat(state["cyc_errors"], cyc_idx, errf),
-        "din_total": scat(state["din_total"], din_idx, one),
-        "din_errors": scat(state["din_errors"], din_idx, errf),
+        "cyc_total": cyc_total,
+        "cyc_errors": cyc_errors,
+        "din_total": din_total,
+        "din_errors": din_errors,
     }
