@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .kmers import kmer_hashes
 
@@ -68,15 +69,32 @@ def bloom_rows(slots: jax.Array) -> jax.Array:
     """Pack the byte filter into bit-blocks: uint32 [m/32], word b's bit j
     = slots[b*32 + j].  Built once per pass boundary.
 
-    Implementation note: 32 strided 1-D slices + shifts — everything stays
-    1-D because TPU layouts pad small minor dimensions catastrophically
-    (a [R, 8, 4] bitcast reshape wanted 18GB of padding at compile time).
+    Packing runs on the MXU: bytes (0/1) x power-of-two weights are exact
+    in bf16, accumulated in f32 (sums < 2^16) — one [m/512, 512] x
+    [512, 32] matmul instead of 32 stride-32 slices (which cost 2.2s on a
+    134M filter; this is ~bandwidth: read m bytes once).
     """
     m = slots.shape[0]
-    word = jnp.zeros(m // 32, dtype=_u32)
-    for j in range(32):
-        word = word | (slots[j::32].astype(_u32) << _u32(j))
-    return word
+    assert m % 512 == 0, "bloom size must be a multiple of 512 slots"
+    b = slots.reshape(m // 512, 512).astype(jnp.bfloat16)
+    # weights: column c contributes 2^(c%32 mod 16) to word (c//32) of
+    # its half; build [512, 32] lo/hi weight matrices
+    c = np.arange(512)
+    w_idx = c // 32          # which of the 16 words in this row
+    bit = c % 32
+    wlo = np.zeros((512, 16), dtype=np.float32)
+    whi = np.zeros((512, 16), dtype=np.float32)
+    for ci in range(512):
+        if bit[ci] < 16:
+            wlo[ci, w_idx[ci]] = float(1 << bit[ci])
+        else:
+            whi[ci, w_idx[ci]] = float(1 << (bit[ci] - 16))
+    lo = jnp.dot(b, jnp.asarray(wlo, dtype=jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    hi = jnp.dot(b, jnp.asarray(whi, dtype=jnp.bfloat16),
+                 preferred_element_type=jnp.float32)
+    word = lo.astype(_u32) | (hi.astype(_u32) << _u32(16))
+    return word.reshape(m // 32)
 
 
 def bloom_query_rows(packed: jax.Array, hi: jax.Array, lo: jax.Array,
