@@ -323,7 +323,7 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
     return infer_errors_core(qf, codes, k)
 
 
-WALK_CHUNK = 1024
+WALK_CHUNK = 256
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,

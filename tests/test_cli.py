@@ -78,3 +78,53 @@ def test_cli_bad_args():
     assert r.returncode != 0
     r = run_cli("frobnicate", "x")
     assert r.returncode != 0
+
+
+def test_cli_bam_roundtrip(tmp_path):
+    import numpy as np
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam, \
+        read_bam, machine_order_read
+    rng = np.random.default_rng(77)
+    recs = []
+    for i in range(40):
+        codes = rng.integers(0, 4, 60).astype(np.int8)
+        quals = rng.integers(10, 40, 60).astype(np.int8)
+        recs.append(build_record(f"r{i}", codes, quals,
+                                 flag=0x10 if i % 2 else 0, rg="rgZ"))
+    p = tmp_path / "in.bam"
+    p.write_bytes(serialize_bam(BamFile("@HD\tVN:1.6\n", [], recs)))
+    out = tmp_path / "out.bam"
+    r = run_cli("recalibrate", str(p), "-k", "16", "-c", "10",
+                "--batch-size", "16", "-s", "-o", str(out))
+    assert r.returncode == 0, r.stderr.decode()
+    bf = read_bam(str(out))
+    assert bf.num_records == 40
+    assert bf.records[0].get_zstr("OQ") is not None
+
+
+def test_mixed_length_fastq(tmp_path):
+    """Reads of different lengths through the full FASTQ pipeline."""
+    import numpy as np
+    from kbbq_tpu.oracle.kmers import decode_seq
+    rng = np.random.default_rng(88)
+    genome = rng.integers(0, 4, 2000).astype(np.int8)
+    out = bytearray()
+    for i in range(60):
+        L = int(rng.integers(20, 80))
+        s = int(rng.integers(0, 2000 - L))
+        seq = genome[s:s + L]
+        q = rng.integers(10, 40, L).astype(np.int64)
+        out += b"@m%d\n" % i + decode_seq(seq) + b"\n+\n"
+        out += bytes((q + 33).astype(np.uint8)) + b"\n"
+    p = tmp_path / "mixed.fq"
+    p.write_bytes(bytes(out))
+    o = tmp_path / "mixed.out.fq"
+    r = run_cli("recalibrate", str(p), "-k", "16", "-c", "10",
+                "--batch-size", "16", "-o", str(o))
+    assert r.returncode == 0, r.stderr.decode()
+    got = parse_fastq_bytes(o.read_bytes())
+    src = parse_fastq_bytes(p.read_bytes())
+    assert got.num_reads == 60
+    for i in range(60):
+        assert got.seq_bytes(i) == src.seq_bytes(i)
+        assert len(got.qual_bytes(i)) == len(src.qual_bytes(i))
