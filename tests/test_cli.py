@@ -128,3 +128,12 @@ def test_mixed_length_fastq(tmp_path):
     for i in range(60):
         assert got.seq_bytes(i) == src.seq_bytes(i)
         assert len(got.qual_bytes(i)) == len(src.qual_bytes(i))
+
+
+def test_cli_implicit_recalibrate(fq_file):
+    """Reference C++ style: `kbbq [opts] input` without a subcommand."""
+    r = run_cli(str(fq_file), "-k", "16", "-c", "15", "--batch-size", "64")
+    assert r.returncode == 0, r.stderr.decode()
+    r2 = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
+                 "--batch-size", "64")
+    assert r.stdout == r2.stdout
