@@ -119,6 +119,14 @@ def main(argv=None) -> int:
         # when applied before first backend use (docs/KNOWN_ISSUES.md #3)
         import jax
         jax.config.update("jax_platforms", platform)
+    if argv is None:
+        argv = sys.argv[1:]
+    # reference C++ CLI style: `kbbq [opts] input` with no subcommand
+    # (SURVEY.md §3.1 C1) — treat a leading non-subcommand arg as an
+    # implicit `recalibrate`
+    if argv and argv[0] not in ("recalibrate", "benchmark", "plot",
+                                "-h", "--help"):
+        argv = ["recalibrate", *argv]
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
