@@ -1,11 +1,13 @@
-"""JAX Bloom filter ops — BLOCKED byte-per-slot layout (D3/D4).
+"""JAX Bloom filter ops — BLOCKED bit-packed layout (D3/D4).
 
-All h probes of a k-mer live in one 32-byte block, so a query costs ONE
-random HBM fetch (SURVEY.md H4).  Insert = scatter-set of single bytes (no
+All h probes of a k-mer live in one 32-bit block word, so a query costs
+ONE random HBM word fetch + in-register bit tests (SURVEY.md H4).
+INSERT passes scatter-set single bytes into a uint8 staging array (no
 read-modify-write: all writes store 1, so collisions commute and sharding
-cannot change the result, SURVEY.md H5).  Query passes read the filter
-through a uint32[R, 8] bitcast view (`bloom_rows`, built once per pass
-boundary): one row gather per k-mer + in-register byte tests.
+cannot change the result, SURVEY.md H5); `bloom_rows` packs the staging
+bytes into uint32 block words once per pass boundary via an exact MXU
+matmul.  The oracle's byte array is the staging view of the same bits —
+byte-level semantics are identical.
 
 Twin: oracle/bloom.py + oracle/kmers.py::probe_positions.
 """

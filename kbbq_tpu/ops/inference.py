@@ -17,9 +17,8 @@ break per active read:
      PATCHING the window k-mer lane arrays in place (replacing the base at
      window offset d is a masked-OR at bit 2(k-1-d) of the forward word
      and bit 2d of the RC word — O(1) per window, no re-rolling);
-  3. ONE batched blocked-Bloom row query [B, 4, k] — the only filter access
-     of the round (XLA implements large gathers at streaming bandwidth,
-     so cost is ~(filter bytes / HBM BW) per round, independent of B);
+  3. ONE batched blocked-Bloom word query [B, 4, W] (W = ext cap, D7) —
+     the only filter access of the round;
   4. resolve extensions/tie-breaks, commit the chosen substitution into
      the lane state and working sequence, update effective trust for the
      k re-queried windows, jump the cursor to the next break.
