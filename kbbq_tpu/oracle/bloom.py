@@ -33,7 +33,9 @@ class BloomParams:
                  num_hashes: int = DEFAULT_NUM_HASHES) -> "BloomParams":
         slots = max(1, expected_keys) * slots_per_key
         log2_m = max(MIN_BLOOM_LOG2, math.ceil(math.log2(max(2, slots))))
-        return BloomParams(log2_m=log2_m, num_hashes=num_hashes)
+        # cap at 2^31 slots: positions are int32 on device; beyond this
+        # scale the filter is hash-space sharded (parallel/sharded_bloom)
+        return BloomParams(log2_m=min(log2_m, 31), num_hashes=num_hashes)
 
     def fpr(self, inserted_keys: int) -> float:
         """Classic Bloom FPR estimate for the current sizing."""

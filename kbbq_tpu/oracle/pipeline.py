@@ -64,6 +64,23 @@ class OracleConfig:
         return alpha, cov
 
 
+def expected_bloom_keys(total_kmers: int, alpha: float, coverage: float):
+    """(filter A keys, filter B keys): DISTINCT k-mer estimates.
+
+    Distinct genomic k-mers ~ total_kmers / coverage (each occurs
+    ~coverage times); x2 margin for errors/repeats.  Filter A holds the
+    sampled subset (<= alpha x occurrences, <= distinct); filter B the
+    trusted set (~distinct).  Sizing from OCCURRENCES (the old formula)
+    over-allocated coverage-fold and overflowed int32 slot indices at
+    E. coli scale.  Part of the bit-exact spec: oracle and device
+    pipelines must agree (filter size changes FP sets).
+    """
+    distinct = max(1, int(2.0 * total_kmers / max(1.0, coverage)))
+    n_a = max(1, min(int(alpha * total_kmers), distinct))
+    n_b = max(1, min(total_kmers, distinct))
+    return n_a, n_b
+
+
 @dataclasses.dataclass
 class ReadBatch:
     """Plain list-of-arrays read set used by the oracle."""
@@ -94,14 +111,12 @@ def recalibrate_reads(batch: ReadBatch, config: OracleConfig = OracleConfig()):
     alpha, cov = config.resolve(batch.total_bases)
     thresh = alpha_threshold(alpha)
 
-    # expected keys: distinct sampled kmers <= alpha * total kmers; trusted
-    # kmers <= total distinct kmers (~genome size; bounded by total kmers).
     total_kmers = sum(max(0, len(c) - k + 1) for c in batch.codes)
+    n_a, n_b = expected_bloom_keys(total_kmers, alpha, cov)
     sampled_params = BloomParams.for_keys(
-        max(1, int(total_kmers * alpha)), config.sampled_bits_per_key,
-        config.num_hashes)
+        n_a, config.sampled_bits_per_key, config.num_hashes)
     trusted_params = BloomParams.for_keys(
-        max(1, total_kmers), config.trusted_bits_per_key, config.num_hashes)
+        n_b, config.trusted_bits_per_key, config.num_hashes)
 
     # PASS 1: subsample -> Bloom A (per-occurrence Bernoulli, D5)
     bloom_a = OracleBloom(sampled_params)

@@ -136,12 +136,13 @@ class ShardedRecalPipeline:
         self.threshold = jnp.uint32(alpha_threshold(self.alpha))
         self.t_table = self._replicate(jnp.asarray(
             coverage_thresholds(self.alpha, config.k), dtype=jnp.int32))
+        from ..oracle.pipeline import expected_bloom_keys
+        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
+                                       self.coverage)
         self.params_a = BloomParams.for_keys(
-            max(1, int(total_kmers * self.alpha)),
-            config.sampled_bits_per_key, config.num_hashes)
+            n_a, config.sampled_bits_per_key, config.num_hashes)
         self.params_b = BloomParams.for_keys(
-            max(1, total_kmers), config.trusted_bits_per_key,
-            config.num_hashes)
+            n_b, config.trusted_bits_per_key, config.num_hashes)
         self.steps = build_sharded_steps(self.mesh, config.k,
                                          config.num_hashes)
         self.cov = CovariateAccumulator(

@@ -176,12 +176,13 @@ class ShardedBloomRecalPipeline:
             coverage_thresholds(self.alpha, config.k), dtype=jnp.int32))
         # shard constraint: m/32 must divide D -> bump log2_m
         min_log2 = 5 + max(1, self.D).bit_length() + 5
+        from ..oracle.pipeline import expected_bloom_keys
+        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
+                                       self.coverage)
         self.params_a = BloomParams.for_keys(
-            max(1, int(total_kmers * self.alpha)),
-            config.sampled_bits_per_key, config.num_hashes)
+            n_a, config.sampled_bits_per_key, config.num_hashes)
         self.params_b = BloomParams.for_keys(
-            max(1, total_kmers), config.trusted_bits_per_key,
-            config.num_hashes)
+            n_b, config.trusted_bits_per_key, config.num_hashes)
         if self.params_a.log2_m < min_log2:
             self.params_a = BloomParams(min_log2, config.num_hashes)
         if self.params_b.log2_m < min_log2:

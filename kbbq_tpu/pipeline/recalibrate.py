@@ -101,12 +101,13 @@ class RecalPipeline:
         self.threshold = jnp.uint32(alpha_threshold(self.alpha))
         self.t_table = jnp.asarray(
             coverage_thresholds(self.alpha, config.k), dtype=jnp.int32)
+        from ..oracle.pipeline import expected_bloom_keys
+        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
+                                       self.coverage)
         self.bloom_a = BloomState.empty(BloomParams.for_keys(
-            max(1, int(total_kmers * self.alpha)),
-            config.sampled_bits_per_key, config.num_hashes))
+            n_a, config.sampled_bits_per_key, config.num_hashes))
         self.bloom_b = BloomState.empty(BloomParams.for_keys(
-            max(1, total_kmers), config.trusted_bits_per_key,
-            config.num_hashes))
+            n_b, config.trusted_bits_per_key, config.num_hashes))
         self.cov = CovariateAccumulator(
             num_rg, max_len, config.batch_size * max_len)
         self.recal_table = None
