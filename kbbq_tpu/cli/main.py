@@ -38,6 +38,9 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
                    help="number of devices to use (default: all)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="save/resume pass-boundary checkpoints here")
+    p.add_argument("--interleaved", action="store_true",
+                   help="FASTQ: reads alternate read1/read2 (pairing by "
+                        "position instead of /2 name suffix)")
 
 
 def cmd_recalibrate(args) -> int:
@@ -59,7 +62,8 @@ def cmd_recalibrate(args) -> int:
         from ..pipeline import recalibrate_fastq
         stats = recalibrate_fastq(
             args.input, outs if len(outs) > 1 else outs[0], cfg,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir,
+            interleaved=args.interleaved)
     dt = time.time() - t0
     print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
           f"({stats['total_bases']} bases) in {dt:.2f}s "

@@ -237,7 +237,8 @@ def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
 
 
 def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
-                      checkpoint_dir: str | None = None) -> dict:
+                      checkpoint_dir: str | None = None,
+                      interleaved: bool = False) -> dict:
     """FASTQ -> FASTQ recalibration (the reference CLI's main flow).
 
     Accepts one path or a list; each input file is its own read group
@@ -264,7 +265,11 @@ def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
         quals_l.append(quals)
         mask_l.append(mask)
         rg_l.append(np.full(fq.num_reads, rg, np.int32))
-        sec_l.append(fq.seconds_mask())
+        if interleaved:
+            # D11: interleaved pairing — odd ordinals are second-in-pair
+            sec_l.append(np.arange(fq.num_reads) % 2 == 1)
+        else:
+            sec_l.append(fq.seconds_mask())
     arrays = ReadArrays(np.concatenate(codes_l), np.concatenate(quals_l),
                         np.concatenate(mask_l), np.concatenate(rg_l),
                         np.concatenate(sec_l))

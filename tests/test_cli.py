@@ -137,3 +137,15 @@ def test_cli_implicit_recalibrate(fq_file):
     r2 = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
                  "--batch-size", "64")
     assert r.stdout == r2.stdout
+
+
+def test_cli_interleaved_changes_cycles(fq_file, tmp_path):
+    """--interleaved flips half the reads to negative cycles; output must
+    differ from the unpaired interpretation on the same data."""
+    o1, o2 = tmp_path / "a.fq", tmp_path / "b.fq"
+    r1 = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
+                 "--batch-size", "64", "-o", str(o1))
+    r2 = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
+                 "--batch-size", "64", "--interleaved", "-o", str(o2))
+    assert r1.returncode == 0 and r2.returncode == 0
+    assert o1.read_bytes() != o2.read_bytes()
