@@ -169,19 +169,24 @@ class RecalPipeline:
         return self.recal_table
 
     def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
+        from concurrent.futures import ThreadPoolExecutor
         recal = jnp.asarray(self.recal_table)
-        outs, reals = [], []
-        for b in batches:
-            nq = apply_recal_table(recal, jnp.asarray(b.codes),
-                                   jnp.asarray(b.quals), jnp.asarray(b.mask),
-                                   jnp.asarray(b.rgs),
-                                   jnp.asarray(b.seconds))
-            outs.append(nq)       # async; sync once at the end
-            reals.append(b.num_real)
+        futs, reals = [], []
+        # overlap device->host transfers with subsequent batch compute
+        # (device_get releases the GIL; the tunnel is the bottleneck)
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            for b in batches:
+                nq = apply_recal_table(
+                    recal, jnp.asarray(b.codes), jnp.asarray(b.quals),
+                    jnp.asarray(b.mask), jnp.asarray(b.rgs),
+                    jnp.asarray(b.seconds))
+                futs.append(ex.submit(np.asarray, nq))
+                reals.append(b.num_real)
+            outs = [f.result() for f in futs]
         if not outs:
             return np.zeros((0, 0))
         return np.concatenate(
-            [np.asarray(o)[:r] for o, r in zip(outs, reals)], axis=0)
+            [o[:r] for o, r in zip(outs, reals)], axis=0)
 
 
 def recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
