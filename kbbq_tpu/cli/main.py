@@ -132,7 +132,14 @@ def main(argv=None) -> int:
                                 "-h", "--help"):
         argv = ["recalibrate", *argv]
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"kbbq-tpu: error: {e}", file=sys.stderr)
+        return 2
+    except (ValueError, OSError) as e:
+        print(f"kbbq-tpu: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
