@@ -35,9 +35,23 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=2048,
                    help="reads per device batch")
     p.add_argument("--devices", type=int, default=None,
-                   help="number of devices to use (default: all)")
+                   help="number of devices to shard the reads axis over "
+                        "(default 1 = single chip; 0 = all available)")
+    p.add_argument("--bloom-layout", default="auto",
+                   choices=("auto", "replicated", "sharded"),
+                   help="multi-device Bloom placement: per-chip replicas "
+                        "or hash-space sharded (auto = by filter size)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="save/resume pass-boundary checkpoints here")
+    from ..constants import DEFAULT_EXT_CAP
+    p.add_argument("--ext-cap", type=int, default=DEFAULT_EXT_CAP,
+                   help="substitution-trial extension cap W (<= k; the "
+                        f"reference extends to k; default "
+                        f"{DEFAULT_EXT_CAP} — a recorded output "
+                        "deviation, see DECISIONS.md D7)")
+    p.add_argument("--trust-threshold", type=int, default=None,
+                   help="override the coverage-derived trusted-kmer "
+                        "threshold T (parity calibration knob, D6)")
     p.add_argument("--interleaved", action="store_true",
                    help="FASTQ: reads alternate read1/read2 (pairing by "
                         "position instead of /2 name suffix)")
@@ -48,7 +62,12 @@ def cmd_recalibrate(args) -> int:
 
     cfg = RecalConfig(
         k=args.kmer_size, alpha=args.alpha, coverage=args.coverage,
-        genome_length=args.genome_length, batch_size=args.batch_size)
+        genome_length=args.genome_length, batch_size=args.batch_size,
+        trust_threshold=args.trust_threshold, ext_cap=args.ext_cap)
+    devices = args.devices
+    if devices == 0:  # 0 = all available
+        import jax
+        devices = len(jax.devices())
     outs = args.output or ["-"]
     outs = [sys.stdout.buffer if o == "-" else o for o in outs]
     t0 = time.time()
@@ -57,13 +76,17 @@ def cmd_recalibrate(args) -> int:
             raise SystemExit("BAM mode takes exactly one input")
         from ..pipeline.bam import recalibrate_bam
         stats = recalibrate_bam(args.input[0], outs[0], cfg,
-                                use_oq=args.use_oq, set_oq=args.set_oq)
+                                use_oq=args.use_oq, set_oq=args.set_oq,
+                                checkpoint_dir=args.checkpoint_dir,
+                                devices=devices,
+                                bloom_layout=args.bloom_layout)
     else:
         from ..pipeline import recalibrate_fastq
         stats = recalibrate_fastq(
             args.input, outs if len(outs) > 1 else outs[0], cfg,
             checkpoint_dir=args.checkpoint_dir,
-            interleaved=args.interleaved)
+            interleaved=args.interleaved, devices=devices,
+            bloom_layout=args.bloom_layout)
     dt = time.time() - t0
     print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
           f"({stats['total_bases']} bases) in {dt:.2f}s "

@@ -29,13 +29,26 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the source is newer than the built library (a stale .so
+    silently shadowing edited source was an ADVICE.md round-1 finding)."""
+    try:
+        so_m = os.path.getmtime(_SO)
+        return any(os.path.getmtime(os.path.join(_DIR, f)) > so_m
+                   for f in os.listdir(_DIR)
+                   if f.endswith((".cc", ".h", ".hpp")) or f == "Makefile")
+    except OSError:
+        return True
+
+
 def get_lib():
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -142,7 +142,7 @@ def _next_break(teff, valid, x, n):
 
 
 def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
-                 rev_ties, reduce_any=jnp.any):
+                 rev_ties, reduce_any=jnp.any, ext_cap=None):
     """All rounds of one directional walk on full-batch state.
 
     work: int8 [B, L+2k]; lanes: 4x uint32 [B, n+k] + valid bool [B, n+k];
@@ -150,7 +150,8 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     (n = done).  Returns (work, lanes, teff, err).
     """
     from ..constants import DEFAULT_EXT_CAP
-    W = min(DEFAULT_EXT_CAP, k)  # trial-extension cap (D7)
+    W = min(ext_cap if ext_cap is not None else DEFAULT_EXT_CAP, k)
+    # trial-extension cap (D7; --ext-cap k = reference semantics)
     B = work.shape[0]
     fhi, flo, rhi, rlo, valid = lanes
     validn = valid[:, :n]
@@ -254,7 +255,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
 
 
 def infer_errors_core(query_fn, codes: jax.Array, k: int,
-                      reduce_any=jnp.any) -> jax.Array:
+                      reduce_any=jnp.any, ext_cap=None) -> jax.Array:
     """Error mask per base for a batch (D7), generic over the trusted-
     filter query: query_fn(hi, lo) -> bool hits.  Used directly by the
     hash-space-sharded pipeline (whose query is a collective; it must
@@ -288,7 +289,7 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     j0 = _next_break(teff, valid, x0, n)
     work, lanes, teff, err = _walk_rounds(
         query_fn, work, lanes, teff, err, j0, k, n, L,
-        rev_ties=False, reduce_any=reduce_any)
+        rev_ties=False, reduce_any=reduce_any, ext_cap=ext_cap)
 
     # leftward walk == rightward walk on the reverse complement; RC lane
     # state is the flipped (rc, fwd) pair, RC trust is flipped trust —
@@ -309,36 +310,38 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     j0_rc = _next_break(rc_teff, flip(vv), x0_rc, n)
     _, _, _, rc_err = _walk_rounds(
         query_fn, rc_work, rc_lanes, rc_teff, rc_err, j0_rc, k,
-        n, L, rev_ties=True, reduce_any=reduce_any)
+        n, L, rev_ties=True, reduce_any=reduce_any, ext_cap=ext_cap)
     return err | rc_err[:, ::-1]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_hashes"))
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "ext_cap"))
 def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
-                       num_hashes: int) -> jax.Array:
+                       num_hashes: int, ext_cap=None) -> jax.Array:
     """infer_errors_core against a local packed filter (uint32 [m/32]
     from ops.bloom.bloom_rows)."""
     qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
-    return infer_errors_core(qf, codes, k)
+    return infer_errors_core(qf, codes, k, ext_cap=ext_cap)
 
 
 WALK_CHUNK = 256
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
-                         chunk: int = WALK_CHUNK) -> jax.Array:
+                         chunk: int = WALK_CHUNK, ext_cap=None) -> jax.Array:
     """infer_errors_batch in chunk-wide slices (async, no host sync)."""
     B, _ = codes.shape
     if B <= chunk:
-        return infer_errors_batch(rows, codes, k, num_hashes)
-    outs = [infer_errors_batch(rows, codes[s:s + chunk], k, num_hashes)
+        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap)
+    outs = [infer_errors_batch(rows, codes[s:s + chunk], k, num_hashes,
+                               ext_cap)
             for s in range(0, B, chunk)]
     return jnp.concatenate(outs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "chunk",
+                                             "ext_cap"))
 def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
-                        chunk: int = WALK_CHUNK) -> jax.Array:
+                        chunk: int = WALK_CHUNK, ext_cap=None) -> jax.Array:
     """Difficulty-sorted chunked inference (bit-identical output).
 
     The rounds loop runs (max breaks over the chunk) rounds, so one junk
@@ -350,14 +353,14 @@ def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
     """
     B, L = codes.shape
     if B <= chunk:
-        return infer_errors_batch(rows, codes, k, num_hashes)
+        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap)
     hi, lo, valid = canonical_kmers_batch(codes, k)
     tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
     nbreaks = jnp.sum(valid & ~tr, axis=1)
     order = jnp.argsort(nbreaks)
     sorted_codes = codes[order]
     outs = [infer_errors_batch(rows, sorted_codes[s:s + chunk],
-                               k, num_hashes)
+                               k, num_hashes, ext_cap)
             for s in range(0, B, chunk)]
     err_sorted = jnp.concatenate(outs, axis=0)
     return jnp.zeros_like(err_sorted).at[order].set(err_sorted)

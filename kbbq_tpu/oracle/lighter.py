@@ -109,8 +109,12 @@ def _longest_true_run(mask: np.ndarray):
     return best_s, best_e
 
 
-def infer_read_errors(codes: np.ndarray, k: int, trusted: OracleBloom) -> np.ndarray:
-    """Error mask per base (DECISIONS.md D7). Does not mutate `codes`."""
+def infer_read_errors(codes: np.ndarray, k: int, trusted: OracleBloom,
+                      ext_cap: int | None = None) -> np.ndarray:
+    """Error mask per base (DECISIONS.md D7). Does not mutate `codes`.
+
+    ext_cap overrides the trial-extension cap W (None -> DEFAULT_EXT_CAP;
+    the reference extends to k — pass ext_cap=k for reference semantics)."""
     codes = np.asarray(codes, dtype=np.int8)
     L = codes.shape[0]
     errors = np.zeros(L, dtype=bool)
@@ -129,7 +133,7 @@ def infer_read_errors(codes: np.ndarray, k: int, trusted: OracleBloom) -> np.nda
     if a < 0:
         return errors  # no anchor: totals only (D7 step 3)
 
-    W = min(DEFAULT_EXT_CAP, k)
+    W = min(ext_cap if ext_cap is not None else DEFAULT_EXT_CAP, k)
 
     def ext_right(j: int) -> int:
         """# consecutive trusted k-mers starting at j on work seq, cap W

@@ -51,6 +51,7 @@ class OracleConfig:
     sampled_bits_per_key: int = DEFAULT_SAMPLED_BITS_PER_KEY
     trusted_bits_per_key: int = DEFAULT_TRUSTED_BITS_PER_KEY
     trust_threshold: int | None = None  # None -> k (D6)
+    ext_cap: int | None = None          # None -> DEFAULT_EXT_CAP (D7)
 
     def resolve(self, total_bases: int):
         cov = self.coverage
@@ -143,7 +144,7 @@ def recalibrate_reads(batch: ReadBatch, config: OracleConfig = OracleConfig()):
     all_errors = []
     for codes, quals, rg, second in zip(batch.codes, batch.quals,
                                         batch.rgs, batch.seconds):
-        errors = infer_read_errors(codes, k, bloom_b)
+        errors = infer_read_errors(codes, k, bloom_b, config.ext_cap)
         all_errors.append(errors)
         accumulate_read(tables, codes, quals, errors, rg, second)
 

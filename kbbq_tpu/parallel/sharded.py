@@ -50,7 +50,9 @@ def _shmap(mesh, in_specs, out_specs):
                              out_specs=out_specs, check_vma=False)
 
 
-def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
+def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int,
+                        trust_threshold: int | None = None,
+                        ext_cap: int | None = None):
     """jitted sharded step functions bound to a mesh."""
 
     @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
@@ -69,7 +71,7 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
     def step_trusted(rows_a, slots_b_dm, codes, t_table):
         hi, lo, valid = canonical_kmers_batch(codes, k)
         hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
-        tr = trusted_mask_batch(hits, valid, t_table, k)
+        tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
         return bloom_insert(slots_b_dm[0], hi, lo, tr, num_hashes)[None]
 
     @functools.partial(jax.jit, donate_argnums=(1,))
@@ -85,7 +87,7 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int):
         # chunk the walk (WALK_CHUNK lanes) — see docs/KNOWN_ISSUES.md #1
         Bd = codes.shape[0]
         errs = [infer_errors_batch(rows_b, codes[s:s + WALK_CHUNK],
-                                   k, num_hashes)
+                                   k, num_hashes, ext_cap)
                 for s in range(0, Bd, WALK_CHUNK)]
         errors = errs[0] if len(errs) == 1 else jnp.concatenate(errs, 0)
         local = {kk: v[0] for kk, v in cov_dm.items()}
@@ -144,7 +146,9 @@ class ShardedRecalPipeline:
         self.params_b = BloomParams.for_keys(
             n_b, config.trusted_bits_per_key, config.num_hashes)
         self.steps = build_sharded_steps(self.mesh, config.k,
-                                         config.num_hashes)
+                                         config.num_hashes,
+                                         config.trust_threshold,
+                                         config.ext_cap)
         self.cov = CovariateAccumulator(
             num_rg, max_len, config.batch_size * max_len)
         # device covariate state is [D, ...] sharded on the replica axis
@@ -233,7 +237,9 @@ class ShardedRecalPipeline:
 
 def sharded_recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
                                mesh: Mesh | None = None,
-                               start_ordinal: int = 0) -> np.ndarray:
+                               start_ordinal: int = 0,
+                               checkpoint_dir: str | None = None
+                               ) -> np.ndarray:
     k = config.k
     lens = arrays.mask.sum(axis=1)
     total_bases = int(lens.sum())
@@ -242,8 +248,38 @@ def sharded_recalibrate_arrays(arrays: ReadArrays, config: RecalConfig,
     pipe = ShardedRecalPipeline(config, num_rg, arrays.max_len, total_bases,
                                 total_kmers, mesh)
     mk = lambda: Batcher(arrays, config.batch_size, start_ordinal)
-    pipe.run_pass1(mk())
-    pipe.run_pass2(mk())
-    pipe.run_pass3(mk())
+
+    # pass-boundary checkpoints hold the PACKED row view (the merged,
+    # replicated query state) rather than the per-replica byte staging
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, run_fingerprint
+        ckpt = Checkpoint(checkpoint_dir)
+        ckpt.check_fingerprint(run_fingerprint(config, arrays))
+
+    rows = ckpt.load_array("rows_a") if ckpt else None
+    if rows is not None:
+        pipe.bloom_a_merged = pipe._replicate(jnp.asarray(rows))
+    else:
+        pipe.run_pass1(mk())
+        if ckpt:
+            ckpt.save_array("rows_a", pipe.bloom_a_merged)
+
+    rows = ckpt.load_array("rows_b") if ckpt else None
+    if rows is not None:
+        pipe.bloom_b_merged = pipe._replicate(jnp.asarray(rows))
+    else:
+        pipe.run_pass2(mk())
+        if ckpt:
+            ckpt.save_array("rows_b", pipe.bloom_b_merged)
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        pipe.cov.totals = loaded
+    else:
+        pipe.run_pass3(mk())
+        if ckpt:
+            ckpt.save_covariates(pipe.cov.totals)
+
     pipe.compute_recal_table()
     return pipe.run_pass4(mk())

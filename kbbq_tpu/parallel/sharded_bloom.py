@@ -65,7 +65,8 @@ def _local_insert(slots_local, hi, lo, mask, num_hashes, log2_m, lo_slot,
 
 
 def build_steps(mesh: Mesh, k: int, num_hashes: int, log2_m_a: int,
-                log2_m_b: int):
+                log2_m_b: int, trust_threshold: int | None = None,
+                ext_cap: int | None = None):
     D = mesh.devices.size
 
     def my_range(log2_m):
@@ -112,7 +113,7 @@ def build_steps(mesh: Mesh, k: int, num_hashes: int, log2_m_a: int,
     def step_trusted(packed_a_local, slots_b_local, codes, t_table):
         hi, lo, valid = canonical_kmers_batch(codes, k)
         hits = collective_query(packed_a_local, hi, lo, log2_m_a) & valid
-        tr = trusted_mask_batch(hits, valid, t_table, k)
+        tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
         ghi = jax.lax.all_gather(hi, R, tiled=True)
         glo = jax.lax.all_gather(lo, R, tiled=True)
         gtr = jax.lax.all_gather(tr, R, tiled=True)
@@ -139,7 +140,8 @@ def build_steps(mesh: Mesh, k: int, num_hashes: int, log2_m_a: int,
                                              log2_m_b)
         gany = lambda x: jax.lax.psum(
             jnp.any(x).astype(jnp.int32), R) > 0
-        errors = infer_errors_core(qf, codes, k, reduce_any=gany)
+        errors = infer_errors_core(qf, codes, k, reduce_any=gany,
+                                   ext_cap=ext_cap)
         local = {kk: v[0] for kk, v in cov_dm.items()}
         out = accumulate_covariates(local, codes, quals, mask, rgs,
                                     seconds, errors)
@@ -188,7 +190,8 @@ class ShardedBloomRecalPipeline:
         if self.params_b.log2_m < min_log2:
             self.params_b = BloomParams(min_log2, config.num_hashes)
         self.steps = build_steps(self.mesh, config.k, config.num_hashes,
-                                 self.params_a.log2_m, self.params_b.log2_m)
+                                 self.params_a.log2_m, self.params_b.log2_m,
+                                 config.trust_threshold, config.ext_cap)
         self.cov = CovariateAccumulator(num_rg, max_len,
                                         config.batch_size * max_len)
         self.cov_dm = self._dev_tables()
@@ -266,7 +269,9 @@ class ShardedBloomRecalPipeline:
 def sharded_bloom_recalibrate_arrays(arrays: ReadArrays,
                                      config: RecalConfig,
                                      mesh: Mesh | None = None,
-                                     start_ordinal: int = 0) -> np.ndarray:
+                                     start_ordinal: int = 0,
+                                     checkpoint_dir: str | None = None
+                                     ) -> np.ndarray:
     k = config.k
     lens = arrays.mask.sum(axis=1)
     total_bases = int(lens.sum())
@@ -275,8 +280,37 @@ def sharded_bloom_recalibrate_arrays(arrays: ReadArrays,
     pipe = ShardedBloomRecalPipeline(config, num_rg, arrays.max_len,
                                      total_bases, total_kmers, mesh)
     mk = lambda: Batcher(arrays, config.batch_size, start_ordinal)
-    pipe.run_pass1(mk())
-    pipe.run_pass2(mk())
-    pipe.run_pass3(mk())
+
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, run_fingerprint
+        ckpt = Checkpoint(checkpoint_dir)
+        ckpt.check_fingerprint(run_fingerprint(config, arrays))
+
+    # checkpoints hold the gathered packed rows; resume re-shards them
+    rows = ckpt.load_array("rows_a_sharded") if ckpt else None
+    if rows is not None:
+        pipe.packed_a = pipe._shard_rows(jnp.asarray(rows))
+    else:
+        pipe.run_pass1(mk())
+        if ckpt:
+            ckpt.save_array("rows_a_sharded", pipe.packed_a)
+
+    rows = ckpt.load_array("rows_b_sharded") if ckpt else None
+    if rows is not None:
+        pipe.packed_b = pipe._shard_rows(jnp.asarray(rows))
+    else:
+        pipe.run_pass2(mk())
+        if ckpt:
+            ckpt.save_array("rows_b_sharded", pipe.packed_b)
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        pipe.cov.totals = loaded
+    else:
+        pipe.run_pass3(mk())
+        if ckpt:
+            ckpt.save_covariates(pipe.cov.totals)
+
     pipe.compute_recal_table()
     return pipe.run_pass4(mk())

@@ -18,7 +18,7 @@ from ..io.bam import (
     serialize_bam,
 )
 from ..io.batcher import ReadArrays
-from .recalibrate import RecalConfig, recalibrate_arrays
+from .recalibrate import RecalConfig
 
 
 def bam_read_group_ids(bf, records):
@@ -36,8 +36,20 @@ def bam_read_group_ids(bf, records):
 
 
 def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
-                    use_oq: bool = False, set_oq: bool = False) -> dict:
-    bf = read_bam(in_path)
+                    use_oq: bool = False, set_oq: bool = False,
+                    checkpoint_dir: str | None = None,
+                    devices: int | None = None,
+                    bloom_layout: str = "auto") -> dict:
+    from .recalibrate import run_pipeline
+
+    # SAM text and BAM share one record model (htslib sam_read1 duality,
+    # SURVEY.md C7); the serializer matches the input format
+    is_sam = str(in_path).endswith((".sam", ".sam.gz"))
+    if is_sam:
+        from ..io.sam import read_sam
+        bf = read_sam(in_path)
+    else:
+        bf = read_bam(in_path)
     primary = [r for r in bf.records
                if not r.is_secondary_or_supp and r.l_seq > 0]
 
@@ -51,7 +63,8 @@ def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
     max_len = max((len(c) for c in codes_list), default=1)
     arrays = ReadArrays.from_lists(codes_list, quals_list, rgs, seconds,
                                    max_len=max_len)
-    new_quals = recalibrate_arrays(arrays, config)
+    new_quals = run_pipeline(arrays, config, checkpoint_dir=checkpoint_dir,
+                             devices=devices, bloom_layout=bloom_layout)
 
     total_bases = 0
     for i, rec in enumerate(primary):
@@ -59,7 +72,11 @@ def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
         total_bases += L
         rewrite_quals(rec, new_quals[i][:L], set_oq=set_oq)
 
-    data = serialize_bam(bf, compress=True)
+    if is_sam:
+        from ..io.sam import serialize_sam
+        data = serialize_sam(bf)
+    else:
+        data = serialize_bam(bf, compress=True)
     if isinstance(out_path, (str, bytes)):
         with open(out_path, "wb") as f:
             f.write(data)

@@ -27,6 +27,36 @@ from .bloom import BloomState
 _COV_FIELDS = ("cyc_total", "cyc_errors", "din_total", "din_errors")
 
 
+def run_fingerprint(config, arrays) -> dict:
+    """Config + input identity for resume validation.
+
+    Resuming with a changed -k/--alpha or different input silently loaded
+    stale Bloom filters in round 1 (ADVICE.md medium); the fingerprint
+    pins every parameter that shapes pass output plus a cheap content
+    hash of the read data.
+    """
+    import zlib
+
+    h = 0
+    for arr in (arrays.codes[:64], arrays.codes[-64:],
+                arrays.quals[:64], arrays.rgs[:256]):
+        h = zlib.crc32(np.ascontiguousarray(arr).tobytes(), h)
+    return {
+        "k": config.k,
+        "alpha": config.alpha,
+        "coverage": config.coverage,
+        "genome_length": config.genome_length,
+        "num_hashes": config.num_hashes,
+        "sampled_bits_per_key": config.sampled_bits_per_key,
+        "trusted_bits_per_key": config.trusted_bits_per_key,
+        "trust_threshold": config.trust_threshold,
+        "ext_cap": getattr(config, "ext_cap", None),
+        "num_reads": int(arrays.num_reads),
+        "total_bases": int(arrays.mask.sum()),
+        "content_crc32": h,
+    }
+
+
 @dataclasses.dataclass
 class Checkpoint:
     path: str
@@ -48,6 +78,23 @@ class Checkpoint:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path())
 
+    def check_fingerprint(self, fp: dict) -> None:
+        """Refuse to resume a checkpoint taken under different parameters
+        or inputs; record the fingerprint on first use."""
+        meta = self.load_meta()
+        stored = meta.get("fingerprint")
+        if stored is not None and stored != fp:
+            diffs = sorted(key for key in set(stored) | set(fp)
+                           if stored.get(key) != fp.get(key))
+            raise ValueError(
+                f"checkpoint at {self.path} was created with different "
+                f"parameters or input data (mismatched: {', '.join(diffs)}); "
+                "delete the checkpoint directory or point --checkpoint-dir "
+                "elsewhere")
+        if stored is None:
+            meta["fingerprint"] = fp
+            self.save_meta(meta)
+
     # ------------------------------------------------------------ passes
     def save_bloom(self, name: str, state: BloomState) -> None:
         os.makedirs(self.path, exist_ok=True)
@@ -61,6 +108,24 @@ class Checkpoint:
         if name not in self.load_meta()["passes_done"]:
             return None
         return BloomState.load(os.path.join(self.path, name))
+
+    def save_array(self, name: str, arr) -> None:
+        """Save a named array pass artifact (e.g. packed Bloom rows from
+        the sharded pipelines, which checkpoint the uint32 row view
+        rather than byte staging)."""
+        os.makedirs(self.path, exist_ok=True)
+        # plain asarray (no dtype=): dtype-converting asarray on device
+        # arrays is pathologically slow (docs/KNOWN_ISSUES.md #5)
+        np.save(os.path.join(self.path, f"{name}.npy"), np.asarray(arr))
+        meta = self.load_meta()
+        if name not in meta["passes_done"]:
+            meta["passes_done"].append(name)
+        self.save_meta(meta)
+
+    def load_array(self, name: str) -> np.ndarray | None:
+        if name not in self.load_meta()["passes_done"]:
+            return None
+        return np.load(os.path.join(self.path, f"{name}.npy"))
 
     def save_covariates(self, tables: CovariateTables) -> None:
         os.makedirs(self.path, exist_ok=True)

@@ -71,6 +71,52 @@ def test_benchmark_excludes_variable_sites(tmp_path):
     assert res_wo["totals"].sum() > res_with["totals"].sum()
 
 
+def test_fastq_name_matching_no_collisions(tmp_path):
+    """'read1' and 'read11' must stay distinct; only literal '/1'/'/2'
+    suffixes are stripped (round-1 rstrip('/12') bug)."""
+    from kbbq_tpu.benchmark import _strip_pair_suffix
+
+    assert _strip_pair_suffix("read1") == "read1"
+    assert _strip_pair_suffix("read11") == "read11"
+    assert _strip_pair_suffix("read1/1") == "read1"
+    assert _strip_pair_suffix("read11/2") == "read11"
+    assert _strip_pair_suffix("sample_001") == "sample_001"
+
+    rng = np.random.default_rng(1)
+    G = 300
+    genome = rng.integers(0, 4, G).astype(np.int8)
+    ref_path = tmp_path / "ref.fa"
+    ref_path.write_bytes(b">c t\n" + decode_seq(genome) + b"\n")
+    vcf_path = tmp_path / "v.vcf"
+    vcf_path.write_bytes(b"#h\n")
+
+    L = 50
+    recs = []
+    # read1 aligned at 0, read11 aligned at 100 — correct bases, but give
+    # them DIFFERENT fastq qualities; a collision would score the wrong q
+    for name, start in (("read1", 0), ("read11", 100)):
+        seq = genome[start:start + L].copy()
+        recs.append(build_record(name, seq, np.full(L, 30, np.int8),
+                                 flag=0, refid=0, pos=start,
+                                 cigar=[("M", L)]))
+    bam_path = tmp_path / "a.bam"
+    bam_path.write_bytes(serialize_bam(
+        BamFile("@HD\tVN:1.6\n", [("c", G)], recs)))
+
+    fq_path = tmp_path / "r.fq"
+    sq = decode_seq(genome[:L])
+    sq2 = decode_seq(genome[100:100 + L])
+    fq_path.write_bytes(
+        b"@read1\n" + sq + b"\n+\n" + bytes([33 + 20] * L) + b"\n"
+        b"@read11\n" + sq2 + b"\n+\n" + bytes([33 + 40] * L) + b"\n")
+
+    res = benchmark_bam(str(bam_path), str(ref_path), str(vcf_path),
+                        fastq_path=str(fq_path))
+    # each read contributes its own q: 50 bases at q20 and 50 at q40
+    assert res["totals"][20] == L
+    assert res["totals"][40] == L
+
+
 def test_fasta_vcf_parsers(tmp_path):
     p = tmp_path / "x.fa"
     p.write_bytes(b">a desc\nACGT\nacgt\n>b\nNNNN\n")

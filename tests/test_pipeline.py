@@ -132,3 +132,58 @@ def test_checkpoint_resume(tmp_path, ds, oracle_quals):
     json.dump(meta, open(meta_p, "w"))
     resumed2 = ra(arrays, cfg, checkpoint_dir=ck)
     assert (resumed2 == full).all()
+
+
+def test_checkpoint_refuses_mismatched_config(tmp_path, ds):
+    """Resuming with a changed -k or different input must fail loudly
+    instead of loading stale Bloom filters (ADVICE.md round-1 medium)."""
+    import pytest
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=64)
+    from kbbq_tpu.pipeline.recalibrate import recalibrate_arrays as ra
+    ck = str(tmp_path / "ckpt")
+    ra(arrays, cfg, checkpoint_dir=ck)
+
+    with pytest.raises(ValueError, match="different parameters"):
+        ra(arrays, RecalConfig(k=20, coverage=25.0, batch_size=64),
+           checkpoint_dir=ck)
+    with pytest.raises(ValueError, match="different parameters"):
+        ra(arrays, RecalConfig(k=16, coverage=25.0, alpha=0.9,
+                               batch_size=64), checkpoint_dir=ck)
+    # different input data -> content hash mismatch
+    arrays2 = ReadArrays.from_lists(
+        [c[::-1].copy() for c in ds.codes], ds.quals, ds.rgs, ds.seconds)
+    with pytest.raises(ValueError, match="different parameters"):
+        ra(arrays2, cfg, checkpoint_dir=ck)
+
+
+def test_multi_input_single_output_concatenates(tmp_path, ds):
+    """One -o path with several inputs must hold ALL reads (round-1
+    ADVICE high: per-input 'wb' reopen kept only the last file)."""
+    from kbbq_tpu.oracle.kmers import decode_seq
+
+    def fq_bytes(codes_l, quals_l, tag):
+        out = bytearray()
+        for i, (c, q) in enumerate(zip(codes_l, quals_l)):
+            out += b"@%s%d\n" % (tag, i) + decode_seq(c) + b"\n+\n"
+            out += bytes((np.asarray(q) + 33).astype(np.uint8)) + b"\n"
+        return bytes(out)
+
+    half = len(ds.codes) // 2
+    fq1 = tmp_path / "a.fq"
+    fq2 = tmp_path / "b.fq"
+    fq1.write_bytes(fq_bytes(ds.codes[:half], ds.quals[:half], b"x"))
+    fq2.write_bytes(fq_bytes(ds.codes[half:], ds.quals[half:], b"y"))
+    out = tmp_path / "out.fq"
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=64)
+    stats = recalibrate_fastq([str(fq1), str(fq2)], str(out), cfg)
+    assert stats["num_reads"] == len(ds.codes)
+    got = parse_fastq_bytes(out.read_bytes())
+    assert got.num_reads == len(ds.codes)
+    # order: all of input 1 then all of input 2, sequences untouched
+    src1 = parse_fastq_bytes(fq1.read_bytes())
+    src2 = parse_fastq_bytes(fq2.read_bytes())
+    for i in range(src1.num_reads):
+        assert got.seq_bytes(i) == src1.seq_bytes(i)
+    for j in range(src2.num_reads):
+        assert got.seq_bytes(src1.num_reads + j) == src2.seq_bytes(j)
