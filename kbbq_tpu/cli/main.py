@@ -55,6 +55,12 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--interleaved", action="store_true",
                    help="FASTQ: reads alternate read1/read2 (pairing by "
                         "position instead of /2 name suffix)")
+    p.add_argument("--stream", action="store_true",
+                   help="FASTQ: stream chunks from disk each pass "
+                        "(bounded host memory; auto-enabled for inputs "
+                        "over ~2 GB)")
+    p.add_argument("--chunk-reads", type=int, default=None,
+                   help="reads per streamed chunk (default 131072)")
 
 
 def cmd_recalibrate(args) -> int:
@@ -81,12 +87,26 @@ def cmd_recalibrate(args) -> int:
                                 devices=devices,
                                 bloom_layout=args.bloom_layout)
     else:
-        from ..pipeline import recalibrate_fastq
-        stats = recalibrate_fastq(
-            args.input, outs if len(outs) > 1 else outs[0], cfg,
-            checkpoint_dir=args.checkpoint_dir,
-            interleaved=args.interleaved, devices=devices,
-            bloom_layout=args.bloom_layout)
+        import os
+        total_size = sum(os.path.getsize(p) for p in args.input
+                         if os.path.exists(p))
+        stream = args.stream or total_size > (2 << 30)
+        if stream:
+            from ..pipeline.streaming import recalibrate_fastq_streaming
+            from ..io.stream import DEFAULT_CHUNK_READS
+            stats = recalibrate_fastq_streaming(
+                args.input, outs if len(outs) > 1 else outs[0], cfg,
+                checkpoint_dir=args.checkpoint_dir,
+                interleaved=args.interleaved, devices=devices,
+                bloom_layout=args.bloom_layout,
+                chunk_reads=args.chunk_reads or DEFAULT_CHUNK_READS)
+        else:
+            from ..pipeline import recalibrate_fastq
+            stats = recalibrate_fastq(
+                args.input, outs if len(outs) > 1 else outs[0], cfg,
+                checkpoint_dir=args.checkpoint_dir,
+                interleaved=args.interleaved, devices=devices,
+                bloom_layout=args.bloom_layout)
     dt = time.time() - t0
     print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
           f"({stats['total_bases']} bases) in {dt:.2f}s "

@@ -51,31 +51,51 @@ def init_multihost(coordinator: str | None = None,
 class HostShard:
     """This host's slice of the global read stream.
 
-    Reads are partitioned by contiguous ranges so global read ordinals
-    (the sampling keys, DECISIONS.md D5) stay stable: host h of H
-    processes reads [h*N/H, (h+1)*N/H) and passes start_ordinal
-    accordingly — output bits are independent of H (SURVEY.md H5).
+    Every file keeps its CANONICAL global start ordinal (cumulative read
+    count in the original input order) and read-group id regardless of
+    which host processes it — the sampling hash keys on global ordinals
+    (DECISIONS.md D5), so output bits are independent of the host count
+    and of the assignment (SURVEY.md H5).
+
+    paths: [(path, start_ordinal)] for this host;
+    rg_ids / read_counts: parallel lists (rg = original file index).
     """
     paths: list
     start_ordinal: int
+    rg_ids: list = dataclasses.field(default_factory=list)
+    read_counts: list = dataclasses.field(default_factory=list)
+
+    @property
+    def total_reads(self) -> int:
+        return int(sum(self.read_counts))
 
 
 def partition_inputs(paths: list, read_counts: list,
                      process_id: int, num_processes: int) -> HostShard:
-    """Whole files are assigned round-robin by cumulative read count;
-    start_ordinal = total reads in files assigned to lower-id... files
-    preceding this host's files in global order."""
+    """Greedy LPT bin-packing by read count: biggest file first onto the
+    least-loaded host.  Replaces round 1's round-robin, whose load was
+    pathological for skewed file sizes (round-1 VERDICT weak-item 6).
+    Deterministic (ties -> lower file index -> lower host id), so every
+    process computes the identical assignment without communication.
+    """
     assert len(paths) == len(read_counts)
-    mine = []
-    start = None
-    ordinal = 0
-    for i, (p, n) in enumerate(zip(paths, read_counts)):
-        if i % num_processes == process_id:
-            if start is None:
-                start = ordinal
-            mine.append((p, ordinal))
-        ordinal += n
-    return HostShard(paths=mine, start_ordinal=start or 0)
+    cum = [0]
+    for n in read_counts:
+        cum.append(cum[-1] + n)
+    order = sorted(range(len(paths)),
+                   key=lambda i: (-read_counts[i], i))
+    loads = [0] * num_processes
+    assign: list[list[int]] = [[] for _ in range(num_processes)]
+    for i in order:
+        h = min(range(num_processes), key=lambda j: (loads[j], j))
+        assign[h].append(i)
+        loads[h] += read_counts[i]
+    mine = sorted(assign[process_id])  # original order within the host
+    return HostShard(
+        paths=[(paths[i], cum[i]) for i in mine],
+        start_ordinal=cum[mine[0]] if mine else 0,
+        rg_ids=[i for i in mine],
+        read_counts=[read_counts[i] for i in mine])
 
 
 def make_global_batch(mesh, host_arrays: dict):
@@ -94,3 +114,289 @@ def make_global_batch(mesh, host_arrays: dict):
         sharding = NamedSharding(mesh, spec)
         out[k] = jax.make_array_from_process_local_data(sharding, v)
     return out
+
+
+# --------------------------------------------------------------------------
+# Multi-host streaming driver (BASELINE config 5)
+# --------------------------------------------------------------------------
+
+class MultihostRecalPipeline:
+    """Replicated-Bloom sharded pipeline over a MULTI-PROCESS global mesh.
+
+    Reuses the exact shard_map step programs of parallel/sharded.py (the
+    collectives are host-count agnostic); only host-side array placement
+    differs: global batches assemble from process-local rows, and host
+    reads of device state go through fully-replicated arrays (a
+    replicated jax.Array is addressable on every process, so np.asarray
+    stays legal where the single-host path used it).
+    """
+
+    def __init__(self, config, num_rg: int, max_len: int,
+                 total_bases: int, total_kmers: int, mesh, num_processes:
+                 int, process_id: int):
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..oracle.bloom import BloomParams
+        from ..oracle.kmers import alpha_threshold
+        from ..oracle.lighter import coverage_thresholds
+        from ..oracle.pipeline import expected_bloom_keys
+        from ..ops.covariate import new_covariate_state
+        from ..state.covariate import CovariateAccumulator
+        from .sharded import build_sharded_steps
+
+        self.mesh = mesh
+        self.H = num_processes
+        self.pid = process_id
+        self.D = mesh.devices.size
+        self.config = config
+        self.num_rg = num_rg
+        self.max_len = max_len
+        if config.batch_size % self.D:
+            raise ValueError(
+                f"global batch size {config.batch_size} must divide the "
+                f"{self.D}-device mesh")
+        if config.batch_size % self.H:
+            raise ValueError("global batch size must divide process count")
+        self.local_batch = config.batch_size // self.H
+        self.alpha, self.coverage = config.resolve_alpha(total_bases)
+        self.threshold = jnp.uint32(alpha_threshold(self.alpha))
+        self._P = P
+        self._NS = NamedSharding
+        self.t_table = self._replicate(jnp.asarray(
+            coverage_thresholds(self.alpha, config.k), dtype=jnp.int32))
+        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
+                                       self.coverage)
+        self.params_a = BloomParams.for_keys(
+            n_a, config.sampled_bits_per_key, config.num_hashes)
+        self.params_b = BloomParams.for_keys(
+            n_b, config.trusted_bits_per_key, config.num_hashes)
+        self.steps = build_sharded_steps(mesh, config.k, config.num_hashes,
+                                         config.trust_threshold,
+                                         config.ext_cap)
+        self.cov = CovariateAccumulator(num_rg, max_len,
+                                        config.batch_size * max_len)
+        self._new_covariate_state = new_covariate_state
+        self.cov_dm = self._dev_tables()
+        self.recal_table = None
+
+        import functools
+
+        @functools.partial(jax.jit,
+                           out_shardings=NamedSharding(mesh, P()))
+        def _sum_replicas(tree):
+            return jax.tree.map(lambda v: v.sum(axis=0), tree)
+
+        self._sum_replicas = _sum_replicas
+
+    # ------------------------------------------------------------ placement
+    def _replicate(self, x):
+        return jax.make_array_from_process_local_data(
+            self._NS(self.mesh, self._P()), np.asarray(x))
+
+    def _shard0(self, local_rows):
+        """Global array sharded on axis 0, assembled from this process's
+        rows (leading dim = local share)."""
+        spec = self._P(self.mesh.axis_names[0],
+                       *([None] * (np.ndim(local_rows) - 1)))
+        return jax.make_array_from_process_local_data(
+            self._NS(self.mesh, spec), np.asarray(local_rows))
+
+    def _dev_tables(self):
+        base = self._new_covariate_state(self.num_rg, self.max_len)
+        d_local = self.D // self.H
+        return {kk: self._shard0(
+            np.zeros((d_local,) + v.shape, np.asarray(v).dtype))
+            for kk, v in base.items()}
+
+    def _empty_replicas(self, params):
+        d_local = self.D // self.H
+        return self._shard0(np.zeros((d_local, params.m), dtype=np.uint8))
+
+    def _put_batch(self, b):
+        """LOCAL Batch (local_batch rows) -> global device arrays."""
+        g = make_global_batch(self.mesh, {
+            "codes": b.codes, "quals": b.quals, "mask": b.mask,
+            "rgs": b.rgs, "seconds": b.seconds, "read_ids": b.read_ids})
+        return (g["codes"], g["quals"], g["mask"], g["rgs"],
+                g["seconds"], g["read_ids"])
+
+    # ------------------------------------------------------------ passes
+    def run_pass1(self, batches) -> None:
+        slots_dm = self._empty_replicas(self.params_a)
+        for b in batches:
+            codes, _, _, _, _, rids = self._put_batch(b)
+            slots_dm = self.steps["sample"](slots_dm, codes, rids,
+                                            self.threshold)
+        self.bloom_a_merged = self.steps["merge_bloom"](slots_dm)
+
+    def run_pass2(self, batches) -> None:
+        slots_dm = self._empty_replicas(self.params_b)
+        for b in batches:
+            codes, *_ = self._put_batch(b)
+            slots_dm = self.steps["trusted"](self.bloom_a_merged, slots_dm,
+                                             codes, self.t_table)
+        self.bloom_b_merged = self.steps["merge_bloom"](slots_dm)
+
+    def run_pass3(self, batches) -> None:
+        for b in batches:
+            codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
+            self.cov_dm = self.steps["covariates"](
+                self.bloom_b_merged, self.cov_dm, codes, quals, mask,
+                rgs, seconds)
+        summed = self._sum_replicas(self.cov_dm)  # replicated ->
+        # addressable on every process
+        s = {kk: np.asarray(v).astype(np.int64)
+             for kk, v in summed.items()}
+        self.cov.totals.cyc_total += s["cyc_total"]
+        self.cov.totals.cyc_errors += s["cyc_errors"]
+        self.cov.totals.din_total += s["din_total"]
+        self.cov.totals.din_errors += s["din_errors"]
+        self.cov_dm = self._dev_tables()
+
+    def compute_recal_table(self):
+        from ..oracle.gatk import build_recal_table
+        self.recal_table = build_recal_table(self.cov.totals)
+        return self.recal_table
+
+    def apply_recal_local(self, b):
+        """Pass 4 is a pure local gather (replicated table, no
+        collectives) — each host recalibrates its own reads."""
+        import jax.numpy as jnp
+
+        from ..ops.recal import apply_recal_table
+        if self._recal_local is None:
+            self._recal_local = jnp.asarray(self.recal_table)
+        return apply_recal_table(
+            self._recal_local, jnp.asarray(b.codes),
+            jnp.asarray(b.quals), jnp.asarray(b.mask),
+            jnp.asarray(b.rgs), jnp.asarray(b.seconds))
+
+    _recal_local = None
+
+
+def _empty_batch(batch_size: int, max_len: int):
+    """All-pad Batch: contributes nothing to any pass (mask False,
+    invalid codes, sentinel ordinals) — used to equalize the global
+    step count across hosts so collectives rendezvous."""
+    from ..io.batcher import Batch
+    return Batch(
+        codes=np.full((batch_size, max_len), 4, np.int8),
+        quals=np.zeros((batch_size, max_len), np.int8),
+        mask=np.zeros((batch_size, max_len), bool),
+        rgs=np.zeros(batch_size, np.int32),
+        seconds=np.zeros(batch_size, bool),
+        read_ids=np.full(batch_size, 0xFFFFFFFF, np.uint32),
+        num_real=0)
+
+
+def _padded_stream(source, total_steps: int, batch_size: int,
+                   max_len: int):
+    n = 0
+    for b in source:
+        yield b
+        n += 1
+    while n < total_steps:
+        yield _empty_batch(batch_size, max_len)
+        n += 1
+
+
+def host_steps_per_pass(read_counts_by_host, local_batch: int) -> int:
+    """Global step count per pass = the busiest host's batch count.
+    Deterministic from the partition, so no communication is needed."""
+    def steps(counts):
+        return sum((n + local_batch - 1) // local_batch for n in counts)
+    return max((steps(c) for c in read_counts_by_host), default=0)
+
+
+def recalibrate_fastq_multihost(in_paths, out_paths, config,
+                                interleaved: bool = False,
+                                chunk_reads: int | None = None,
+                                info: dict | None = None) -> dict:
+    """Streaming multi-host data-parallel recalibration (config 5).
+
+    Every process calls this with the SAME arguments (shared filesystem);
+    each host streams only its partition of the input files, global
+    batches assemble over DCN/ICI via the process-local-data API, and
+    each host writes the outputs for its own files.  out_paths: list of
+    per-input output paths (a single concatenated sink is impossible
+    across hosts).  Output bytes are identical to the single-host
+    pipeline (ordinal-keyed sampling + integer-commutative merges).
+    """
+    from ..io.stream import (DEFAULT_CHUNK_READS, StreamingBatches,
+                             chunk_to_batch_arrays, iter_fastq_chunks,
+                             prefetch_iter, scan_fastq_files,
+                             _slice_batches)
+    from ..io.fastq import write_fastq_with_quals
+    from .mesh import make_mesh
+
+    info = info or init_multihost()
+    H, pid = info["num_processes"], info["process_id"]
+    if isinstance(in_paths, (str, bytes)):
+        in_paths = [in_paths]
+    if not isinstance(out_paths, (list, tuple)) or \
+            len(out_paths) != len(in_paths):
+        raise ValueError(
+            "multi-host mode needs one output path per input file")
+    k = config.k
+    mesh = make_mesh()  # all global devices
+
+    scan = scan_fastq_files(in_paths, k)
+    shard = partition_inputs(in_paths, scan.per_file_reads, pid, H)
+    all_shards = [partition_inputs(in_paths, scan.per_file_reads, h, H)
+                  for h in range(H)]
+
+    local_batch = config.batch_size // H
+    chunk = chunk_reads or DEFAULT_CHUNK_READS
+    chunk = ((chunk + local_batch - 1) // local_batch) * local_batch
+    steps = host_steps_per_pass(
+        [s.read_counts for s in all_shards], local_batch)
+
+    pipe = MultihostRecalPipeline(
+        config, len(in_paths), scan.max_len, scan.total_bases,
+        scan.total_kmers(k), mesh, H, pid)
+
+    file_specs = [(p, rg, o) for (p, o), rg in
+                  zip(shard.paths, shard.rg_ids)]
+
+    def mk():
+        src = StreamingBatches(
+            [], local_batch, scan.max_len, chunk, interleaved,
+            file_specs=file_specs)
+        return _padded_stream(iter(src), steps, local_batch,
+                              scan.max_len)
+
+    pipe.run_pass1(mk())
+    pipe.run_pass2(mk())
+    pipe.run_pass3(mk())
+    pipe.compute_recal_table()
+
+    # pass 4: local, per owned file
+    written = 0
+    for (path, start), rg in zip(shard.paths, shard.rg_ids):
+        out = out_paths[rg]
+        with open(out, "wb") as sink:
+            ordinal = start
+            def chunks():
+                nonlocal ordinal
+                for fq in iter_fastq_chunks(path, chunk):
+                    yield fq, ordinal
+                    ordinal += fq.num_reads
+            for fq, o in prefetch_iter(chunks(), depth=2):
+                arrs = chunk_to_batch_arrays(fq, scan.max_len, rg, o,
+                                             interleaved)
+                rows = []
+                for b in _slice_batches(arrs, local_batch, scan.max_len):
+                    rows.append(
+                        np.asarray(pipe.apply_recal_local(b))[:b.num_real])
+                nq = np.concatenate(rows, axis=0)
+                write_fastq_with_quals(fq, nq, arrs[2], sink)
+                written += fq.num_reads
+
+    return {"num_reads": scan.num_reads,
+            "total_bases": scan.total_bases,
+            "read_groups": len(in_paths),
+            "host_reads_written": written,
+            "process_id": pid, "num_processes": H,
+            "devices": mesh.devices.size}
+

@@ -223,15 +223,18 @@ class ShardedRecalPipeline:
 
     def compute_recal_table(self) -> np.ndarray:
         self.recal_table = build_recal_table(self.cov.totals)
+        self._recal_dev = self._replicate(jnp.asarray(self.recal_table))
         return self.recal_table
 
+    def apply_recal(self, b: Batch):
+        codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
+        return self.steps["recal"](self._recal_dev, codes, quals, mask,
+                                   rgs, seconds)
+
     def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
-        recal = self._replicate(jnp.asarray(self.recal_table))
         outs = []
         for b in batches:
-            codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
-            nq = self.steps["recal"](recal, codes, quals, mask, rgs, seconds)
-            outs.append(np.asarray(nq)[:b.num_real])
+            outs.append(np.asarray(self.apply_recal(b))[:b.num_real])
         return np.concatenate(outs, axis=0) if outs else np.zeros((0, 0))
 
 

@@ -250,15 +250,18 @@ class ShardedBloomRecalPipeline:
 
     def compute_recal_table(self):
         self.recal_table = build_recal_table(self.cov.totals)
+        self._recal_dev = self._replicate(jnp.asarray(self.recal_table))
         return self.recal_table
 
+    def apply_recal(self, b: Batch):
+        codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
+        return self.steps["recal"](self._recal_dev, codes, quals, mask,
+                                   rgs, seconds)
+
     def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
-        recal = self._replicate(jnp.asarray(self.recal_table))
         outs, reals = [], []
         for b in batches:
-            codes, quals, mask, rgs, seconds, _ = self._put_batch(b)
-            outs.append(self.steps["recal"](recal, codes, quals, mask,
-                                            rgs, seconds))
+            outs.append(self.apply_recal(b))
             reals.append(b.num_real)
         if not outs:
             return np.zeros((0, 0))

@@ -172,7 +172,17 @@ class RecalPipeline:
 
     def compute_recal_table(self) -> np.ndarray:
         self.recal_table = build_recal_table(self.cov.totals)
+        self._recal_dev = jnp.asarray(self.recal_table)
         return self.recal_table
+
+    def apply_recal(self, b: Batch):
+        """Pass-4 gather for ONE batch; returns the device array (caller
+        controls the device->host transfer overlap).  Uniform across the
+        single-chip and sharded pipelines — the streaming driver's hook."""
+        return apply_recal_table(
+            self._recal_dev, jnp.asarray(b.codes), jnp.asarray(b.quals),
+            jnp.asarray(b.mask), jnp.asarray(b.rgs),
+            jnp.asarray(b.seconds))
 
     def run_pass4(self, batches: Iterable[Batch]) -> np.ndarray:
         from concurrent.futures import ThreadPoolExecutor

@@ -57,6 +57,31 @@ def run_fingerprint(config, arrays) -> dict:
     }
 
 
+def stream_fingerprint(config, paths, scan) -> dict:
+    """Fingerprint for the streaming driver: config params + per-file
+    read/base counts + a crc of each file's first 64 KiB."""
+    import zlib
+
+    h = 0
+    for p in paths:
+        with open(p, "rb") as f:
+            h = zlib.crc32(f.read(65536), h)
+    return {
+        "k": config.k,
+        "alpha": config.alpha,
+        "coverage": config.coverage,
+        "genome_length": config.genome_length,
+        "num_hashes": config.num_hashes,
+        "sampled_bits_per_key": config.sampled_bits_per_key,
+        "trusted_bits_per_key": config.trusted_bits_per_key,
+        "trust_threshold": config.trust_threshold,
+        "ext_cap": getattr(config, "ext_cap", None),
+        "per_file_reads": list(scan.per_file_reads),
+        "per_file_bases": list(scan.per_file_bases),
+        "head_crc32": h,
+    }
+
+
 @dataclasses.dataclass
 class Checkpoint:
     path: str

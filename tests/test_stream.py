@@ -1,0 +1,189 @@
+"""Streaming IO tests (round-1 VERDICT missing-item 1).
+
+The invariant that matters: the streamed pipeline's output is BYTE
+IDENTICAL to the in-RAM pipeline's on the same inputs, for any chunk
+size, because sampling keys on global ordinals, not buffer layout.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from kbbq_tpu.io.fastq import parse_fastq_bytes, read_fastq
+from kbbq_tpu.io.stream import (
+    StreamingBatches,
+    iter_fastq_chunks,
+    scan_fastq_files,
+)
+from kbbq_tpu.pipeline import RecalConfig, recalibrate_fastq
+from kbbq_tpu.pipeline.streaming import recalibrate_fastq_streaming
+from kbbq_tpu.utils.synth import make_dataset, to_fastq_bytes
+
+
+@pytest.fixture(scope="module")
+def fq_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    ds1 = make_dataset(genome_len=900, read_len=55, coverage=22.0,
+                       error_rate=0.02, seed=41, paired=True, n_rate=0.01)
+    ds2 = make_dataset(genome_len=700, read_len=48, coverage=18.0,
+                       error_rate=0.02, seed=42)
+    p1 = d / "a.fq"
+    p2 = d / "b.fq.gz"
+    p1.write_bytes(to_fastq_bytes(ds1))
+    import gzip
+    p2.write_bytes(gzip.compress(to_fastq_bytes(ds2)))
+    return str(p1), str(p2)
+
+
+@pytest.mark.parametrize("chunk_reads", [7, 64, 10_000])
+def test_chunk_reader_reassembles_exactly(fq_files, chunk_reads):
+    for path in fq_files:
+        whole = read_fastq(path)
+        seen = 0
+        parts = []
+        for fq in iter_fastq_chunks(path, chunk_reads):
+            assert fq.num_reads <= chunk_reads
+            for i in range(fq.num_reads):
+                parts.append((fq.name_bytes(i), fq.seq_bytes(i),
+                              fq.qual_bytes(i)))
+            seen += fq.num_reads
+        assert seen == whole.num_reads
+        for i, (nm, sq, ql) in enumerate(parts):
+            assert nm == whole.name_bytes(i)
+            assert sq == whole.seq_bytes(i)
+            assert ql == whole.qual_bytes(i)
+
+
+def test_chunk_reader_small_blocks(fq_files):
+    """Tiny IO blocks force partial records across block boundaries."""
+    path = fq_files[0]
+    whole = read_fastq(path)
+    seen = 0
+    for fq in iter_fastq_chunks(path, 16, block_bytes=97):
+        seen += fq.num_reads
+    assert seen == whole.num_reads
+
+
+def test_chunk_reader_truncated_raises(tmp_path):
+    p = tmp_path / "trunc.fq"
+    p.write_bytes(b"@r1\nACGT\n+\nIIII\n@r2\nACGT\n+\n")  # missing qual
+    with pytest.raises(ValueError, match="truncated|multiple of 4"):
+        list(iter_fastq_chunks(str(p), 10))
+
+
+def test_scan_matches_whole_file(fq_files):
+    scan = scan_fastq_files(list(fq_files), k=16, chunk_reads=13)
+    w1, w2 = read_fastq(fq_files[0]), read_fastq(fq_files[1])
+    assert scan.per_file_reads == [w1.num_reads, w2.num_reads]
+    assert scan.total_bases == int(w1.lengths.sum() + w2.lengths.sum())
+    assert scan.max_len == max(w1.max_len, w2.max_len)
+
+
+def test_streaming_batches_match_batcher(fq_files):
+    """StreamingBatches emits the same (codes, ids, rgs) stream as the
+    in-RAM Batcher over concatenated files."""
+    from kbbq_tpu.io.batcher import Batcher, ReadArrays
+    from kbbq_tpu.io.fastq import extract_padded_arrays
+
+    fqs = [read_fastq(p) for p in fq_files]
+    scan = scan_fastq_files(list(fq_files), k=16)
+    L = scan.max_len
+    codes_l, quals_l, mask_l, rg_l, sec_l = [], [], [], [], []
+    for rg, fq in enumerate(fqs):
+        codes, quals, mask, _ = extract_padded_arrays(fq, L)
+        codes_l.append(codes)
+        quals_l.append(quals)
+        mask_l.append(mask)
+        rg_l.append(np.full(fq.num_reads, rg, np.int32))
+        sec_l.append(fq.seconds_mask())
+    arrays = ReadArrays(np.concatenate(codes_l), np.concatenate(quals_l),
+                        np.concatenate(mask_l), np.concatenate(rg_l),
+                        np.concatenate(sec_l))
+    want = list(Batcher(arrays, 32))
+    got = list(StreamingBatches(list(fq_files), 32, L, chunk_reads=50))
+    # chunk boundaries may split batches differently; compare per-read
+    def flatten(batches):
+        rows = []
+        for b in batches:
+            for i in range(b.num_real):
+                rows.append((b.codes[i].tobytes(), b.quals[i].tobytes(),
+                             int(b.rgs[i]), bool(b.seconds[i]),
+                             int(b.read_ids[i])))
+        return rows
+    fw, fg = flatten(want), flatten(got)
+    assert len(fw) == len(fg)
+    assert fw == fg
+
+
+def test_streaming_pipeline_byte_identical(fq_files, tmp_path):
+    cfg = RecalConfig(k=16, coverage=22.0, batch_size=64)
+    out_ram = tmp_path / "ram.fq"
+    recalibrate_fastq(list(fq_files), str(out_ram), cfg)
+    for chunk in (37, 500):
+        out_s = tmp_path / f"s{chunk}.fq"
+        stats = recalibrate_fastq_streaming(
+            list(fq_files), str(out_s), cfg, chunk_reads=chunk)
+        assert stats["streamed"]
+        a = out_ram.read_bytes()
+        b = out_s.read_bytes()
+        # in-RAM sink concatenates raw buffers; gzip inputs decompress
+        # to the same records — compare parsed records
+        fa, fb = parse_fastq_bytes(a), parse_fastq_bytes(b)
+        assert fa.num_reads == fb.num_reads
+        for i in range(fa.num_reads):
+            assert fa.seq_bytes(i) == fb.seq_bytes(i)
+            assert fa.qual_bytes(i) == fb.qual_bytes(i), f"read {i}"
+
+
+def test_streaming_sharded_byte_identical(fq_files, tmp_path):
+    cfg = RecalConfig(k=16, coverage=22.0, batch_size=64)
+    out1 = tmp_path / "d1.fq"
+    out8 = tmp_path / "d8.fq"
+    recalibrate_fastq_streaming(list(fq_files), str(out1), cfg,
+                                chunk_reads=200)
+    recalibrate_fastq_streaming(list(fq_files), str(out8), cfg,
+                                chunk_reads=200, devices=8)
+    assert out1.read_bytes() == out8.read_bytes()
+
+
+def test_streaming_checkpoint_and_pass4_resume(fq_files, tmp_path):
+    cfg = RecalConfig(k=16, coverage=22.0, batch_size=64)
+    ck = tmp_path / "ck"
+    out = tmp_path / "o.fq"
+    recalibrate_fastq_streaming(list(fq_files), str(out), cfg,
+                                checkpoint_dir=str(ck), chunk_reads=40)
+    want = out.read_bytes()
+    assert (ck / "rows_a.npy").exists()
+
+    # simulate a crash mid-pass-4: rewind progress to "chunk 0 written".
+    # Output chunk size == input chunk size (only quality BYTES change),
+    # so the offset after chunk 0 is that chunk's parsed buffer size.
+    import json
+    meta_p = ck / "meta.json"
+    meta = json.loads(meta_p.read_text())
+    assert meta["pass4"]["chunks"] >= 2
+    n0 = next(iter(iter_fastq_chunks(fq_files[0], 40))).buf.size
+    meta["pass4"] = {"chunks": 1, "bytes": n0}
+    meta_p.write_text(json.dumps(meta))
+    # garbage beyond the recorded offset must be truncated on resume
+    with open(out, "ab") as f:
+        f.write(b"GARBAGE")
+
+    recalibrate_fastq_streaming(
+        list(fq_files), str(out), cfg, checkpoint_dir=str(ck),
+        chunk_reads=40)
+    assert out.read_bytes() == want
+
+
+def test_stream_fingerprint_mismatch(fq_files, tmp_path):
+    cfg = RecalConfig(k=16, coverage=22.0, batch_size=64)
+    ck = tmp_path / "ck"
+    out = tmp_path / "o.fq"
+    recalibrate_fastq_streaming(list(fq_files), str(out), cfg,
+                                checkpoint_dir=str(ck), chunk_reads=40)
+    with pytest.raises(ValueError, match="different parameters"):
+        recalibrate_fastq_streaming(
+            list(fq_files), str(out),
+            RecalConfig(k=18, coverage=22.0, batch_size=64),
+            checkpoint_dir=str(ck), chunk_reads=40)
