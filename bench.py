@@ -23,7 +23,55 @@ def _log(msg):
           flush=True)
 
 
-def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
+def golden_quals(num_reads: int, read_len: int, k: int,
+                 batch_size: int) -> "np.ndarray | None":
+    """CPU-backend output for the bench dataset (the parity authority).
+
+    The axon TPU backend has miscompiled the walk before
+    (docs/KNOWN_ISSUES.md #1), and round 1's bench timed the device
+    without checking its output — a backend regression would have
+    shipped a fast wrong number (round-1 VERDICT weak-item 2).  The CPU
+    pipeline is oracle-verified by the test suite, so byte-equality
+    against it IS oracle parity.  Computed in a subprocess (backend
+    choice is process-wide) and cached on disk keyed by parameters.
+    """
+    import hashlib
+    import os
+    import subprocess
+
+    import numpy as np
+
+    key = f"r{num_reads}_l{read_len}_k{k}_b{batch_size}_v1"
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    path = os.path.join(cache_dir, f"golden_{key}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    os.makedirs(cache_dir, exist_ok=True)
+    code = (
+        "import jax, numpy as np\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from kbbq_tpu.pipeline import RecalConfig\n"
+        "from kbbq_tpu.pipeline.recalibrate import recalibrate_arrays\n"
+        "from kbbq_tpu.utils.synth import make_arrays_fast\n"
+        f"g = max(1000, int({num_reads} * {read_len} / 50.0))\n"
+        f"arrays, _ = make_arrays_fast(genome_len=g, read_len={read_len},"
+        f" num_reads={num_reads}, error_rate=0.005, seed=0)\n"
+        f"cfg = RecalConfig(k={k}, coverage=50.0, batch_size={batch_size})\n"
+        "out = recalibrate_arrays(arrays, cfg)\n"
+        f"np.save({path!r}, out)\n"
+    )
+    _log(f"computing CPU golden for parity gate ({key}) ...")
+    r = subprocess.run([__import__('sys').executable, "-c", code],
+                       capture_output=True, timeout=7200)
+    if r.returncode != 0 or not os.path.exists(path):
+        _log(f"golden computation failed: {r.stderr.decode()[-500:]}")
+        return None
+    return np.load(path)
+
+
+def run(num_reads: int, read_len: int, k: int, batch_size: int,
+        parity: bool = True) -> dict:
     import jax
     import numpy as np
 
@@ -79,8 +127,20 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int) -> dict:
     dt = time.time() - t0
     _log(f"timed run done in {dt:.2f}s")
 
+    parity_ok = None
+    if parity:
+        want = golden_quals(num_reads, read_len, k, batch_size)
+        if want is not None:
+            parity_ok = bool((out == want).all())
+            _log(f"parity vs CPU golden: {parity_ok}")
+            if not parity_ok:
+                diff = int((out != want).sum())
+                _log(f"PARITY FAILURE: {diff} differing quality values "
+                     f"of {out.size}")
+
     rps = num_reads / dt
     return {
+        "parity": parity_ok,
         "metric": "reads_per_sec_per_chip",
         "value": round(rps, 1),
         "unit": "reads/s/chip (full 4-pass recalibrate)",
@@ -105,10 +165,13 @@ def main() -> int:
     ap.add_argument("-k", type=int, default=32)
     ap.add_argument("--batch-size", type=int, default=8192)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip the CPU-golden output parity gate")
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
-    result = run(args.reads, args.read_len, args.k, args.batch_size)
+    result = run(args.reads, args.read_len, args.k, args.batch_size,
+                 parity=not args.no_parity)
     print(json.dumps(result))
     return 0
 

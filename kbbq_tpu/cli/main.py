@@ -80,12 +80,24 @@ def cmd_recalibrate(args) -> int:
     if args.input[0].endswith((".bam", ".sam")):
         if len(args.input) != 1:
             raise SystemExit("BAM mode takes exactly one input")
-        from ..pipeline.bam import recalibrate_bam
-        stats = recalibrate_bam(args.input[0], outs[0], cfg,
-                                use_oq=args.use_oq, set_oq=args.set_oq,
-                                checkpoint_dir=args.checkpoint_dir,
-                                devices=devices,
-                                bloom_layout=args.bloom_layout)
+        import os
+        big = os.path.exists(args.input[0]) and \
+            os.path.getsize(args.input[0]) > (2 << 30)
+        if args.input[0].endswith(".bam") and (args.stream or big):
+            from ..pipeline.bam import recalibrate_bam_streaming
+            stats = recalibrate_bam_streaming(
+                args.input[0], outs[0], cfg, use_oq=args.use_oq,
+                set_oq=args.set_oq, checkpoint_dir=args.checkpoint_dir,
+                devices=devices, bloom_layout=args.bloom_layout,
+                chunk_records=args.chunk_reads)
+        else:
+            from ..pipeline.bam import recalibrate_bam
+            stats = recalibrate_bam(args.input[0], outs[0], cfg,
+                                    use_oq=args.use_oq,
+                                    set_oq=args.set_oq,
+                                    checkpoint_dir=args.checkpoint_dir,
+                                    devices=devices,
+                                    bloom_layout=args.bloom_layout)
     else:
         import os
         total_size = sum(os.path.getsize(p) for p in args.input

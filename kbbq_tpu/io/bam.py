@@ -148,11 +148,25 @@ class BamFile:
         return len(self.records)
 
 
-def parse_bam_bytes(raw: bytes) -> BamFile:
-    """Parse a decompressed BAM byte stream."""
-    if raw[:4] != BAM_MAGIC:
+def record_from_body(body: bytearray) -> BamRecord:
+    """BamRecord from one alignment body (the bytes after block_size)."""
+    (refid, pos, l_read_name, _mapq, _bin, n_cigar, flag, l_seq,
+     _nrid, _npos, _tlen) = struct.unpack_from("<iiBBHHHiiii", body, 0)
+    name_off = 32
+    name = bytes(body[name_off:name_off + l_read_name - 1]).decode()
+    cigar_off = name_off + l_read_name
+    seq_off = cigar_off + 4 * n_cigar
+    qual_off = seq_off + (l_seq + 1) // 2
+    aux_off = qual_off + l_seq
+    return BamRecord(body, flag, l_seq, name, seq_off, qual_off, aux_off,
+                     refid, pos)
+
+
+def parse_bam_header(raw: bytes, off: int = 0):
+    """(header_text, refs, next_offset) from a decompressed BAM stream."""
+    if raw[off:off + 4] != BAM_MAGIC:
         raise BAMError("missing BAM magic")
-    off = 4
+    off += 4
     l_text = struct.unpack_from("<i", raw, off)[0]
     off += 4
     header_text = raw[off:off + l_text].decode("utf-8", "replace")
@@ -168,6 +182,12 @@ def parse_bam_bytes(raw: bytes) -> BamFile:
         l_ref = struct.unpack_from("<i", raw, off)[0]
         off += 4
         refs.append((name, l_ref))
+    return header_text, refs, off
+
+
+def parse_bam_bytes(raw: bytes) -> BamFile:
+    """Parse a decompressed BAM byte stream."""
+    header_text, refs, off = parse_bam_header(raw)
     records = []
     n = len(raw)
     while off < n:
@@ -175,16 +195,7 @@ def parse_bam_bytes(raw: bytes) -> BamFile:
         off += 4
         body = bytearray(raw[off:off + block_size])
         off += block_size
-        (refid, pos, l_read_name, _mapq, _bin, n_cigar, flag, l_seq,
-         _nrid, _npos, _tlen) = struct.unpack_from("<iiBBHHHiiii", body, 0)
-        name_off = 32
-        name = bytes(body[name_off:name_off + l_read_name - 1]).decode()
-        cigar_off = name_off + l_read_name
-        seq_off = cigar_off + 4 * n_cigar
-        qual_off = seq_off + (l_seq + 1) // 2
-        aux_off = qual_off + l_seq
-        records.append(BamRecord(body, flag, l_seq, name, seq_off,
-                                 qual_off, aux_off, refid, pos))
+        records.append(record_from_body(body))
     return BamFile(header_text, refs, records)
 
 

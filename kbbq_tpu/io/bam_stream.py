@@ -1,0 +1,211 @@
+"""Streaming BAM reader/writer (bounded memory; BASELINE configs 3-4).
+
+htslib streams alignments record-at-a-time through bgzf_read (SURVEY.md
+§3.1 C7); round 1's read_bam materialized the whole decompressed file.
+This module decompresses BGZF members incrementally and yields records in
+chunks, and writes recalibrated records back through an incremental BGZF
+compressor — host memory is O(chunk) end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+from .bam import (
+    BAMError,
+    BamRecord,
+    parse_bam_header,
+    record_from_body,
+)
+from .bgzf import BGZF_EOF, BGZFError, MAX_BLOCK, _compress_block, _HDR
+
+DEFAULT_CHUNK_RECORDS = 1 << 16
+
+
+class BGZFStreamReader:
+    """Incremental BGZF decompressor over a binary file object."""
+
+    def __init__(self, fileobj, read_bytes: int = 4 << 20):
+        self.f = fileobj
+        self.read_bytes = read_bytes
+        self.comp = bytearray()     # undecoded compressed tail
+        self.out = bytearray()      # decoded, unconsumed
+        self.eof = False
+
+    def _fill_comp(self) -> bool:
+        b = self.f.read(self.read_bytes)
+        if not b:
+            self.eof = True
+            return False
+        self.comp += b
+        return True
+
+    def _decode_some(self) -> bool:
+        """Decode whole BGZF members from comp into out; True if any."""
+        made = False
+        data = self.comp
+        off = 0
+        n = len(data)
+        while True:
+            if n - off < 18:
+                break
+            if data[off:off + 28] == BGZF_EOF:
+                off += 28
+                continue
+            (id1, id2, cm, flg, _mt, _xfl, _os, xlen) = _HDR.unpack_from(
+                data, off)
+            if (id1, id2, cm) != (31, 139, 8) or not flg & 4:
+                raise BGZFError(f"not a BGZF block at stream offset {off}")
+            xoff = off + 12
+            bsize = None
+            end = xoff + xlen
+            while xoff + 4 <= end:
+                si1, si2 = data[xoff], data[xoff + 1]
+                slen = struct.unpack_from("<H", data, xoff + 2)[0]
+                if (si1, si2) == (66, 67) and slen == 2:
+                    bsize = struct.unpack_from("<H", data, xoff + 4)[0] + 1
+                xoff += 4 + slen
+            if bsize is None:
+                raise BGZFError("missing BC subfield")
+            if n - off < bsize:
+                break  # need more compressed bytes
+            cdata = bytes(data[off + 12 + xlen: off + bsize - 8])
+            isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
+            raw = zlib.decompress(cdata, wbits=-15)
+            if len(raw) != isize:
+                raise BGZFError("ISIZE mismatch")
+            self.out += raw
+            off += bsize
+            made = True
+        del self.comp[:off]
+        return made
+
+    def read(self, want: int) -> bytes:
+        """Up to `want` decompressed bytes ('' only at EOF)."""
+        while len(self.out) < want and not self.eof:
+            progressed = self._decode_some()
+            if not progressed and not self._fill_comp():
+                break
+        take = bytes(self.out[:want])
+        del self.out[:len(take)]
+        return take
+
+    def read_exact(self, want: int) -> bytes:
+        b = self.read(want)
+        if len(b) != want:
+            raise BAMError("truncated BAM stream")
+        return b
+
+
+class BGZFStreamWriter:
+    """Incremental BGZF compressor onto a binary file object."""
+
+    def __init__(self, fileobj, level: int = 6,
+                 block_size: int = 0xFF00):
+        self.f = fileobj
+        self.level = level
+        self.block_size = block_size
+        self.buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self.buf += data
+        while len(self.buf) >= self.block_size:
+            chunk = bytes(self.buf[:self.block_size])
+            del self.buf[:self.block_size]
+            self.f.write(_compress_block(chunk, self.level))
+
+    def close(self) -> None:
+        if self.buf:
+            self.f.write(_compress_block(bytes(self.buf), self.level))
+            self.buf.clear()
+        self.f.write(BGZF_EOF)
+
+
+def open_bam_stream(path: str):
+    """(header_text, refs, reader) with the reader positioned at the
+    first alignment record."""
+    f = open(path, "rb")
+    r = BGZFStreamReader(f)
+    # header: magic + l_text + text + refs; sizes are small — read field
+    # by field through the decompressed stream
+    magic = r.read_exact(4)
+    l_text = struct.unpack("<i", r.read_exact(4))[0]
+    text = r.read_exact(l_text)
+    n_ref_b = r.read_exact(4)
+    head = magic + struct.pack("<i", l_text) + text + n_ref_b
+    n_ref = struct.unpack("<i", n_ref_b)[0]
+    parts = [head]
+    for _ in range(n_ref):
+        lb = r.read_exact(4)
+        l_name = struct.unpack("<i", lb)[0]
+        parts.append(lb + r.read_exact(l_name + 4))
+    header_text, refs, _ = parse_bam_header(b"".join(parts))
+    return header_text, refs, r
+
+
+def iter_bam_records_stream(reader: BGZFStreamReader
+                            ) -> Iterator[BamRecord]:
+    while True:
+        szb = reader.read(4)
+        if not szb:
+            return
+        if len(szb) < 4:
+            raise BAMError("truncated BAM record size")
+        block_size = struct.unpack("<i", szb)[0]
+        body = bytearray(reader.read_exact(block_size))
+        yield record_from_body(body)
+
+
+def iter_bam_chunks(path: str,
+                    chunk_records: int = DEFAULT_CHUNK_RECORDS):
+    """(header_text, refs) then record-list chunks via a generator pair.
+
+    Returns (header_text, refs, chunk_iterator).
+    """
+    header_text, refs, reader = open_bam_stream(path)
+
+    def chunks():
+        try:
+            buf = []
+            for rec in iter_bam_records_stream(reader):
+                buf.append(rec)
+                if len(buf) >= chunk_records:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+        finally:
+            reader.f.close()
+
+    return header_text, refs, chunks()
+
+
+class BamStreamWriter:
+    """Write a BAM incrementally: header once, then record batches."""
+
+    def __init__(self, sink, header_text: str, refs, level: int = 6):
+        self._own = isinstance(sink, (str, bytes))
+        self.f = open(sink, "wb") if self._own else sink
+        self.w = BGZFStreamWriter(self.f, level)
+        out = [b"BAM\x01"]
+        htext = header_text.encode()
+        out.append(struct.pack("<i", len(htext)))
+        out.append(htext)
+        out.append(struct.pack("<i", len(refs)))
+        for name, l_ref in refs:
+            nb = name.encode() + b"\x00"
+            out.append(struct.pack("<i", len(nb)))
+            out.append(nb)
+            out.append(struct.pack("<i", l_ref))
+        self.w.write(b"".join(out))
+
+    def write_record(self, rec: BamRecord) -> None:
+        self.w.write(struct.pack("<i", len(rec.data)))
+        self.w.write(bytes(rec.data))
+
+    def close(self) -> None:
+        self.w.close()
+        if self._own:
+            self.f.close()

@@ -21,6 +21,194 @@ from ..io.batcher import ReadArrays
 from .recalibrate import RecalConfig
 
 
+class BamStreamingBatches:
+    """Re-iterable fixed-shape Batch source streaming a BAM's PRIMARY
+    records (machine order, RG registry, optional OQ quals)."""
+
+    def __init__(self, path: str, registry: dict, batch_size: int,
+                 max_len: int, use_oq: bool,
+                 chunk_records: int | None = None):
+        from ..io.bam_stream import DEFAULT_CHUNK_RECORDS
+        self.path = path
+        self.registry = registry
+        self.batch_size = batch_size
+        self.max_len = max_len
+        self.use_oq = use_oq
+        self.chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
+
+    def _chunk_arrays(self):
+        from ..io.bam_stream import iter_bam_chunks
+        _, _, chunks = iter_bam_chunks(self.path, self.chunk_records)
+        ordinal = 0
+        L = self.max_len
+        for recs in chunks:
+            prim = [r for r in recs
+                    if not r.is_secondary_or_supp and r.l_seq > 0]
+            if not prim:
+                continue
+            n = len(prim)
+            codes = np.full((n, L), 4, np.int8)
+            quals = np.zeros((n, L), np.int8)
+            mask = np.zeros((n, L), bool)
+            rgs = np.zeros(n, np.int32)
+            seconds = np.zeros(n, bool)
+            for i, rec in enumerate(prim):
+                c, q = machine_order_read(rec, use_oq=self.use_oq)
+                m = len(c)
+                codes[i, :m] = c
+                quals[i, :m] = np.clip(q, 0, 93)
+                mask[i, :m] = True
+                tag = rec.get_zstr("RG")
+                key = tag.decode() if tag is not None else ""
+                rgs[i] = self.registry[key]
+                seconds[i] = rec.is_read2
+            ids = np.arange(ordinal, ordinal + n, dtype=np.uint32)
+            ordinal += n
+            yield codes, quals, mask, rgs, seconds, ids
+
+    def __iter__(self):
+        from ..io.stream import _slice_batches, prefetch_iter
+        for arrs in prefetch_iter(self._chunk_arrays(), depth=2):
+            yield from _slice_batches(arrs, self.batch_size, self.max_len)
+
+
+def scan_bam(path: str, k: int, use_oq: bool = False,
+             chunk_records: int | None = None):
+    """Streaming metadata pass: (num_primary, total_bases, total_kmers,
+    max_len, registry) — registry is RG-tag -> dense id in
+    first-appearance order over primary records."""
+    from ..io.bam_stream import DEFAULT_CHUNK_RECORDS, iter_bam_chunks
+    _, _, chunks = iter_bam_chunks(path,
+                                   chunk_records or DEFAULT_CHUNK_RECORDS)
+    n = bases = tk = 0
+    max_len = 1
+    registry: dict[str, int] = {}
+    for recs in chunks:
+        for rec in recs:
+            if rec.is_secondary_or_supp or rec.l_seq == 0:
+                continue
+            n += 1
+            L = rec.l_seq
+            bases += L
+            max_len = max(max_len, L)
+            tk += max(0, L - k + 1)
+            tag = rec.get_zstr("RG")
+            key = tag.decode() if tag is not None else ""
+            if key not in registry:
+                registry[key] = len(registry)
+    return n, bases, tk, max_len, registry
+
+
+def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
+                              use_oq: bool = False, set_oq: bool = False,
+                              checkpoint_dir: str | None = None,
+                              devices: int | None = None,
+                              bloom_layout: str = "auto",
+                              chunk_records: int | None = None) -> dict:
+    """BAM -> BAM recalibration with O(chunk) host memory: every pass
+    re-streams records through the incremental BGZF codec; pass 4 writes
+    records out as they are rewritten (secondary/supplementary pass
+    through untouched)."""
+    from ..io.bam_stream import (DEFAULT_CHUNK_RECORDS, BamStreamWriter,
+                                 iter_bam_chunks)
+    from ..io.stream import _slice_batches, prefetch_iter
+    from .streaming import _make_pipeline
+
+    chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
+    k = config.k
+    n, bases, tk, max_len, registry = scan_bam(in_path, k, use_oq,
+                                               chunk_records)
+    num_rg = max(1, len(registry))
+    pipe, kind = _make_pipeline(config, num_rg, max_len, bases, tk,
+                                devices, bloom_layout)
+
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint
+        ckpt = Checkpoint(checkpoint_dir)
+        fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
+              "genome_length": config.genome_length,
+              "num_hashes": config.num_hashes,
+              "trust_threshold": config.trust_threshold,
+              "ext_cap": config.ext_cap, "use_oq": use_oq,
+              "num_reads": n, "total_bases": bases, "bam": True}
+        ckpt.check_fingerprint(fp)
+
+    def mk():
+        return BamStreamingBatches(in_path, registry, config.batch_size,
+                                   max_len, use_oq, chunk_records)
+
+    from .streaming import _get_rows, _load_rows
+    rows = ckpt.load_array("rows_a") if ckpt else None
+    if rows is not None:
+        _load_rows(pipe, kind, "a", rows)
+    else:
+        pipe.run_pass1(mk())
+        if ckpt:
+            ckpt.save_array("rows_a", _get_rows(pipe, kind, "a"))
+    rows = ckpt.load_array("rows_b") if ckpt else None
+    if rows is not None:
+        _load_rows(pipe, kind, "b", rows)
+    else:
+        pipe.run_pass2(mk())
+        if ckpt:
+            ckpt.save_array("rows_b", _get_rows(pipe, kind, "b"))
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        pipe.cov.totals = loaded
+    else:
+        pipe.run_pass3(mk())
+        if ckpt:
+            ckpt.save_covariates(pipe.cov.totals)
+    pipe.compute_recal_table()
+
+    # pass 4: re-stream ALL records; rewrite primaries in chunk batches
+    header_text, refs, chunks = iter_bam_chunks(in_path, chunk_records)
+    writer = BamStreamWriter(out_path, header_text, refs)
+    B = config.batch_size
+    try:
+        for recs in prefetch_iter(chunks, depth=2):
+            prim = [r for r in recs
+                    if not r.is_secondary_or_supp and r.l_seq > 0]
+            if prim:
+                nrec = len(prim)
+                codes = np.full((nrec, max_len), 4, np.int8)
+                quals = np.zeros((nrec, max_len), np.int8)
+                mask = np.zeros((nrec, max_len), bool)
+                rgs = np.zeros(nrec, np.int32)
+                seconds = np.zeros(nrec, bool)
+                lens = np.zeros(nrec, np.int64)
+                for i, rec in enumerate(prim):
+                    c, q = machine_order_read(rec, use_oq=use_oq)
+                    m = len(c)
+                    lens[i] = m
+                    codes[i, :m] = c
+                    quals[i, :m] = np.clip(q, 0, 93)
+                    mask[i, :m] = True
+                    tag = rec.get_zstr("RG")
+                    key = tag.decode() if tag is not None else ""
+                    rgs[i] = registry[key]
+                    seconds[i] = rec.is_read2
+                ids = np.zeros(nrec, np.uint32)  # unused in pass 4
+                rows_out = []
+                for b in _slice_batches(
+                        (codes, quals, mask, rgs, seconds, ids),
+                        B, max_len):
+                    rows_out.append(
+                        np.asarray(pipe.apply_recal(b))[:b.num_real])
+                new_q = np.concatenate(rows_out, axis=0)
+                for i, rec in enumerate(prim):
+                    rewrite_quals(rec, new_q[i][:int(lens[i])],
+                                  set_oq=set_oq)
+            for rec in recs:
+                writer.write_record(rec)
+    finally:
+        writer.close()
+
+    return {"num_reads": n, "total_bases": bases,
+            "read_groups": num_rg, "streamed": True}
+
+
 def bam_read_group_ids(bf, records):
     """Dense RG index per record (registry order = first appearance);
     records without an RG tag share group 0 of a default registry."""

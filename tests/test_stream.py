@@ -176,6 +176,102 @@ def test_streaming_checkpoint_and_pass4_resume(fq_files, tmp_path):
     assert out.read_bytes() == want
 
 
+def test_bgzf_stream_reader_roundtrip():
+    """Incremental BGZF reader reproduces bulk decompression exactly,
+    including across member boundaries with tiny read sizes."""
+    from kbbq_tpu.io import bgzf
+    from kbbq_tpu.io.bam_stream import BGZFStreamReader, BGZFStreamWriter
+
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    comp = bgzf.compress(data)
+    r = BGZFStreamReader(io.BytesIO(comp), read_bytes=1000)
+    got = bytearray()
+    while True:
+        b = r.read(777)
+        if not b:
+            break
+        got += b
+    assert bytes(got) == data
+
+    sink = io.BytesIO()
+    w = BGZFStreamWriter(sink)
+    for s in range(0, len(data), 12345):
+        w.write(data[s:s + 12345])
+    w.close()
+    assert bgzf.decompress(sink.getvalue()) == data
+
+
+def test_streaming_bam_matches_in_ram(tmp_path):
+    """recalibrate_bam_streaming == recalibrate_bam, record for record,
+    including secondary passthrough and --set-oq."""
+    from kbbq_tpu.io.bam import (BamFile, build_record, read_bam,
+                                 serialize_bam)
+    from kbbq_tpu.oracle.kmers import decode_seq  # noqa: F401
+    from kbbq_tpu.pipeline.bam import (recalibrate_bam,
+                                       recalibrate_bam_streaming)
+
+    ds = make_dataset(genome_len=700, read_len=50, coverage=18.0,
+                      error_rate=0.02, seed=17)
+    recs = []
+    for i, (c, q) in enumerate(zip(ds.codes, ds.quals)):
+        flag = 4 if i % 3 else 0x10  # mix reverse-strand records
+        cc = np.asarray(c)
+        qq = np.asarray(q, dtype=np.uint8)
+        if flag & 0x10:
+            cc = np.where(cc < 4, 3 - cc, cc)[::-1].astype(np.int8)
+            qq = qq[::-1]
+        recs.append(build_record(f"r{i}", cc, qq, flag=flag,
+                                 rg="g1" if i % 2 else "g0"))
+        if i == 5:  # a secondary record that must pass through untouched
+            recs.append(build_record("sec", cc, qq, flag=0x100, rg="g1"))
+    bf = BamFile("@HD\tVN:1.6\n", [], recs)
+    p = tmp_path / "in.bam"
+    p.write_bytes(serialize_bam(bf))
+
+    cfg = RecalConfig(k=16, coverage=18.0, batch_size=64)
+    out_ram = tmp_path / "ram.bam"
+    out_str = tmp_path / "str.bam"
+    s1 = recalibrate_bam(str(p), str(out_ram), cfg, set_oq=True)
+    s2 = recalibrate_bam_streaming(str(p), str(out_str), cfg, set_oq=True,
+                                   chunk_records=37)
+    assert s1["num_reads"] == s2["num_reads"]
+    assert s1["read_groups"] == s2["read_groups"]
+    a = read_bam(str(out_ram))
+    b = read_bam(str(out_str))
+    assert len(a.records) == len(b.records)
+    for ra, rb in zip(a.records, b.records):
+        assert ra.name == rb.name
+        assert bytes(ra.data) == bytes(rb.data), ra.name
+
+
+def test_streaming_bam_checkpoint(tmp_path):
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+    from kbbq_tpu.pipeline.bam import recalibrate_bam_streaming
+
+    ds = make_dataset(genome_len=500, read_len=45, coverage=15.0,
+                      error_rate=0.02, seed=19)
+    recs = [build_record(f"r{i}", np.asarray(c),
+                         np.asarray(q, dtype=np.uint8), flag=4, rg="g")
+            for i, (c, q) in enumerate(zip(ds.codes, ds.quals))]
+    p = tmp_path / "in.bam"
+    p.write_bytes(serialize_bam(BamFile("@HD\tVN:1.6\n", [], recs)))
+    cfg = RecalConfig(k=16, coverage=15.0, batch_size=64)
+    ck = tmp_path / "ck"
+    o1, o2 = tmp_path / "a.bam", tmp_path / "b.bam"
+    recalibrate_bam_streaming(str(p), str(o1), cfg,
+                              checkpoint_dir=str(ck))
+    assert (ck / "rows_a.npy").exists()
+    recalibrate_bam_streaming(str(p), str(o2), cfg,
+                              checkpoint_dir=str(ck))
+    assert o1.read_bytes() == o2.read_bytes()
+    with pytest.raises(ValueError, match="different parameters"):
+        recalibrate_bam_streaming(
+            str(p), str(o2), RecalConfig(k=20, coverage=15.0,
+                                         batch_size=64),
+            checkpoint_dir=str(ck))
+
+
 def test_stream_fingerprint_mismatch(fq_files, tmp_path):
     cfg = RecalConfig(k=16, coverage=22.0, batch_size=64)
     ck = tmp_path / "ck"
