@@ -71,7 +71,7 @@ def golden_quals(num_reads: int, read_len: int, k: int,
 
 
 def run(num_reads: int, read_len: int, k: int, batch_size: int,
-        parity: bool = True) -> dict:
+        parity: bool = True, use_pallas: bool | None = None) -> dict:
     import jax
     import numpy as np
 
@@ -95,7 +95,8 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
     arrays, _ = make_arrays_fast(
         genome_len=genome_len, read_len=read_len, num_reads=num_reads,
         error_rate=0.005, seed=0)
-    cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size)
+    cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size,
+                      use_pallas=use_pallas)
     _log(f"data ready: {num_reads} reads x {read_len}bp")
 
     # warm-up: full run on the SAME arrays so every jit signature (incl.
@@ -167,11 +168,15 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-parity", action="store_true",
                     help="skip the CPU-golden output parity gate")
+    ap.add_argument("--pallas", action="store_true",
+                    help="route Bloom probes through the VMEM-resident "
+                         "Pallas kernels (filter must fit VMEM)")
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
     result = run(args.reads, args.read_len, args.k, args.batch_size,
-                 parity=not args.no_parity)
+                 parity=not args.no_parity,
+                 use_pallas=True if args.pallas else None)
     print(json.dumps(result))
     return 0
 

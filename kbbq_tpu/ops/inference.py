@@ -314,12 +314,21 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     return err | rc_err[:, ::-1]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "ext_cap"))
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "ext_cap",
+                                             "use_pallas"))
 def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
-                       num_hashes: int, ext_cap=None) -> jax.Array:
+                       num_hashes: int, ext_cap=None,
+                       use_pallas: bool = False) -> jax.Array:
     """infer_errors_core against a local packed filter (uint32 [m/32]
-    from ops.bloom.bloom_rows)."""
-    qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
+    from ops.bloom.bloom_rows).  use_pallas routes every probe through
+    the VMEM-resident Pallas kernel (ops/pallas_bloom.py) — the filter
+    must fit VMEM; callers gate on size."""
+    if use_pallas:
+        from .pallas_bloom import bloom_query_rows_pallas
+        qf = lambda hi, lo: bloom_query_rows_pallas(rows, hi, lo,
+                                                    num_hashes)
+    else:
+        qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
     return infer_errors_core(qf, codes, k, ext_cap=ext_cap)
 
 
@@ -327,21 +336,24 @@ WALK_CHUNK = 256
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
-                         chunk: int = WALK_CHUNK, ext_cap=None) -> jax.Array:
+                         chunk: int = WALK_CHUNK, ext_cap=None,
+                         use_pallas: bool = False) -> jax.Array:
     """infer_errors_batch in chunk-wide slices (async, no host sync)."""
     B, _ = codes.shape
     if B <= chunk:
-        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap)
+        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap,
+                                  use_pallas)
     outs = [infer_errors_batch(rows, codes[s:s + chunk], k, num_hashes,
-                               ext_cap)
+                               ext_cap, use_pallas)
             for s in range(0, B, chunk)]
     return jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes", "chunk",
-                                             "ext_cap"))
+                                             "ext_cap", "use_pallas"))
 def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
-                        chunk: int = WALK_CHUNK, ext_cap=None) -> jax.Array:
+                        chunk: int = WALK_CHUNK, ext_cap=None,
+                        use_pallas: bool = False) -> jax.Array:
     """Difficulty-sorted chunked inference (bit-identical output).
 
     The rounds loop runs (max breaks over the chunk) rounds, so one junk
@@ -353,14 +365,15 @@ def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
     """
     B, L = codes.shape
     if B <= chunk:
-        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap)
+        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap,
+                                  use_pallas)
     hi, lo, valid = canonical_kmers_batch(codes, k)
     tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
     nbreaks = jnp.sum(valid & ~tr, axis=1)
     order = jnp.argsort(nbreaks)
     sorted_codes = codes[order]
     outs = [infer_errors_batch(rows, sorted_codes[s:s + chunk],
-                               k, num_hashes, ext_cap)
+                               k, num_hashes, ext_cap, use_pallas)
             for s in range(0, B, chunk)]
     err_sorted = jnp.concatenate(outs, axis=0)
     return jnp.zeros_like(err_sorted).at[order].set(err_sorted)

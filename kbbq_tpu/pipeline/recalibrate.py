@@ -50,6 +50,15 @@ class RecalConfig:
     trust_threshold: int | None = None
     ext_cap: int | None = None   # None -> DEFAULT_EXT_CAP (D7)
     batch_size: int = 512
+    # None = auto (KBBQ_PALLAS env); Pallas probes need the packed
+    # filter to fit VMEM — gated per-filter in the pipeline
+    use_pallas: bool | None = None
+
+    def pallas_enabled(self) -> bool:
+        import os
+        if self.use_pallas is not None:
+            return self.use_pallas
+        return os.environ.get("KBBQ_PALLAS", "") == "1"
 
     def resolve_alpha(self, total_bases: int) -> tuple[float, float]:
         cov = self.coverage
@@ -74,12 +83,17 @@ def _step_sample(slots, codes, read_ids, threshold, *, k, num_hashes):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "num_hashes", "trust_threshold"),
+                   static_argnames=("k", "num_hashes", "trust_threshold",
+                                    "use_pallas"),
                    donate_argnames=("slots_b",))
 def _step_trusted(rows_a, slots_b, codes, t_table, *, k, num_hashes,
-                  trust_threshold=None):
+                  trust_threshold=None, use_pallas=False):
     hi, lo, valid = canonical_kmers_batch(codes, k)
-    hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
+    if use_pallas:
+        from ..ops.pallas_bloom import bloom_query_rows_pallas
+        hits = bloom_query_rows_pallas(rows_a, hi, lo, num_hashes) & valid
+    else:
+        hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
     tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
     return bloom_insert(slots_b, hi, lo, tr, num_hashes)
 
@@ -114,6 +128,15 @@ class RecalPipeline:
         self.cov = CovariateAccumulator(
             num_rg, max_len, config.batch_size * max_len)
         self.recal_table = None
+        # Pallas VMEM-resident probes: only when the packed row view
+        # fits on-chip (v5e ~16 MB VMEM; leave headroom for blocks)
+        PALLAS_VMEM_BUDGET = 13 << 20
+        self.pallas_b = (config.pallas_enabled()
+                         and self.bloom_b.params.m // 8
+                         <= PALLAS_VMEM_BUDGET)
+        self.pallas_a = (config.pallas_enabled()
+                         and self.bloom_a.params.m // 8
+                         <= PALLAS_VMEM_BUDGET)
 
     def run_pass1(self, batches: Iterable[Batch]) -> None:
         k, h = self.config.k, self.config.num_hashes
@@ -136,7 +159,8 @@ class RecalPipeline:
                                     jnp.asarray(b.codes), self.t_table,
                                     k=k, num_hashes=h,
                                     trust_threshold=
-                                    self.config.trust_threshold)
+                                    self.config.trust_threshold,
+                                    use_pallas=self.pallas_a)
         jax.block_until_ready(slots_b)
         self.bloom_b = BloomState(self.bloom_b.params, slots_b)
         self.rows_b = bloom_rows(slots_b)
@@ -151,7 +175,8 @@ class RecalPipeline:
             t0 = time.time()
             codes = jnp.asarray(b.codes)
             errors = infer_errors_sorted(self.rows_b, codes, k, h,
-                                         ext_cap=self.config.ext_cap)
+                                         ext_cap=self.config.ext_cap,
+                                         use_pallas=self.pallas_b)
             t1 = time.time()
             self.cov.device_state = _accumulate_donated(
                 self.cov.device_state, codes, jnp.asarray(b.quals),
