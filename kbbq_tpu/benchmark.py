@@ -18,7 +18,6 @@ import sys
 
 import numpy as np
 
-from .io.bam import read_bam
 from .constants import NUM_Q
 
 
@@ -93,10 +92,11 @@ def parse_cigar(data, off, n_cigar):
 
 def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
                   fastq_path: str | None = None, label: str = "kbbq-tpu"):
-    """Per-reported-Q (errors, totals) histogram from alignments."""
+    """Per-reported-Q (errors, totals) histogram from alignments.
+
+    Streams the BAM in chunks (bounded memory at WGS scale)."""
     import struct
 
-    bf = read_bam(bam_path)
     refs = read_fasta(ref_path)
     sites = read_vcf_sites(vcf_path)
 
@@ -113,7 +113,9 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
 
     totals = np.zeros(NUM_Q, dtype=np.int64)
     errors = np.zeros(NUM_Q, dtype=np.int64)
-    ref_names = [name for name, _ in bf.refs]
+    from .io.bam_stream import iter_bam_raw_chunks
+    _, bam_refs, raw_chunks = iter_bam_raw_chunks(bam_path)
+    ref_names = [name for name, _ in bam_refs]
 
     # Per-chromosome precompute (once, not per record / per segment):
     # base codes via a 256-entry LUT and a dense variable-site bool mask
@@ -133,46 +135,61 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
             vm[var[(var >= 0) & (var < arr.size)]] = True
         var_mask_by_name[rname] = vm
 
+    # Nibble decode LUT: byte -> (hi code, lo code), for whole-chunk
+    # sequence decoding in one vectorized pass
+    nib = np.full(16, 4, dtype=np.int8)
+    for code, v in enumerate((1, 2, 4, 8)):
+        nib[v] = code
+    byte_hi = nib[np.arange(256) >> 4]
+    byte_lo = nib[np.arange(256) & 0xF]
+
     # Accumulate all M-segment (q, err) pairs in flat buffers and
     # histogram once at the end — np.add.at per segment is slow.
     q_chunks: list[np.ndarray] = []
     e_chunks: list[np.ndarray] = []
 
-    for rec in bf.records:
-        if rec.is_secondary_or_supp or rec.refid < 0:
-            continue
-        if rec.flag & 0x4:
-            continue
-        rname = ref_names[rec.refid]
-        ref_codes = ref_codes_by_name.get(rname)
-        if ref_codes is None:
-            continue
-        var_mask = var_mask_by_name[rname]
+    def _u8(buf, offs):
+        return buf[offs].astype(np.int64)
+
+    def _u16(buf, offs):
+        return _u8(buf, offs) | (_u8(buf, offs + 1) << 8)
+
+    def _u32f(buf, offs):
+        return _u16(buf, offs) | (_u16(buf, offs + 2) << 16)
+
+    def _i32(buf, offs):
+        return _u32f(buf, offs).astype(np.uint32).astype(
+            np.int32).astype(np.int64)
+
+    # per-refid lookup tables (None = chromosome absent from the FASTA)
+    ref_codes_by_id = [ref_codes_by_name.get(nm) for nm in ref_names]
+    var_mask_by_id = [var_mask_by_name.get(nm) for nm in ref_names]
+    ref_len_by_id = np.asarray(
+        [len(rc) if rc is not None else -1 for rc in ref_codes_by_id],
+        np.int64)
+
+    def slow_record(buf, o, size, q):
+        """Arbitrary-CIGAR fallback (rare shapes) via a BamRecord."""
+        from .io.bam import record_from_body
+        rec = record_from_body(bytearray(bytes(buf[o:o + size])))
+        rc = ref_codes_by_id[rec.refid]
+        vm = var_mask_by_id[rec.refid]
         (_, _, l_read_name, _, _, n_cigar, _, _, _, _, _) = \
             struct.unpack_from("<iiBBHHHiiii", rec.data, 0)
-        cigar_off = 32 + l_read_name
-        cig = parse_cigar(rec.data, cigar_off, n_cigar)
+        cig = parse_cigar(rec.data, 32 + l_read_name, n_cigar)
         seq = rec.seq_codes()
-        if fq_quals is not None:
-            q = fq_quals.get(_strip_pair_suffix(rec.name))
-            if q is None:
-                continue
-            if rec.is_reverse:
-                q = q[::-1]
-        else:
-            q = rec.quals().astype(np.int64)
-
+        qv = q if q is not None else rec.quals().astype(np.int64)
         rpos = rec.pos
         spos = 0
         for op, ln in cig:
             if op in ("M", "=", "X"):
-                r = ref_codes[rpos:rpos + ln]
+                rr = rc[rpos:rpos + ln]
                 s = seq[spos:spos + ln]
-                qq = np.clip(q[spos:spos + ln], 0, NUM_Q - 1)
-                use = (~var_mask[rpos:rpos + ln]) & (r != 4) & (s != 4)
-                err = use & (s != r)
+                qq = np.clip(qv[spos:spos + ln], 0, NUM_Q - 1)
+                use = (~vm[rpos:rpos + ln]) & (rr != 4) & (s != 4)
+                er = use & (s != rr)
                 q_chunks.append(qq[use])
-                e_chunks.append(qq[err])
+                e_chunks.append(qq[er])
                 rpos += ln
                 spos += ln
             elif op in ("I", "S"):
@@ -180,6 +197,86 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
             elif op in ("D", "N"):
                 rpos += ln
             # H, P consume nothing
+
+    for buf, offs, sizes in raw_chunks:
+        # whole-chunk vector field extraction — no per-record objects
+        refid = _i32(buf, offs)
+        pos = _i32(buf, offs + 4)
+        l_rn = _u8(buf, offs + 8)
+        n_cig = _u16(buf, offs + 12)
+        flag = _u16(buf, offs + 14)
+        l_seq = _i32(buf, offs + 16)
+        keep = (refid >= 0) & ((flag & 0x904) == 0)
+        keep &= np.isin(refid, np.flatnonzero(ref_len_by_id >= 0))
+        cig_off = offs + 32 + l_rn
+        # first cigar op (guarded: only meaningful where n_cig >= 1)
+        safe = np.minimum(cig_off, buf.size - 4)
+        first = _u32f(buf, safe)
+        single_m = (n_cig == 1) & ((first & 0xF) == 0) & \
+            ((first >> 4) == l_seq)
+        in_ref = pos + l_seq <= ref_len_by_id[np.clip(refid, 0, None)]
+        fast = keep & single_m & in_ref & (fq_quals is None)
+
+        idx_slow = np.flatnonzero(keep & ~fast)
+        for i in idx_slow:
+            q = None
+            if fq_quals is not None:
+                o = int(offs[i])
+                name = bytes(buf[o + 32:o + 32 + int(l_rn[i]) - 1]
+                             ).decode()
+                q = fq_quals.get(_strip_pair_suffix(name))
+                if q is None:
+                    continue
+                if flag[i] & 0x10:
+                    q = q[::-1]
+            slow_record(buf, int(offs[i]), int(sizes[i]), q)
+
+        # vectorized scoring per (refid, length) group
+        idx_fast = np.flatnonzero(fast)
+        if idx_fast.size == 0:
+            continue
+        seq_off = cig_off + 4 * n_cig
+        key = refid[idx_fast] * (1 << 32) + l_seq[idx_fast]
+        for kkey in np.unique(key):
+            sel = idx_fast[key == kkey]
+            rid = int(refid[sel[0]])
+            L = int(l_seq[sel[0]])
+            nb = (L + 1) // 2
+            so = seq_off[sel]
+            # seq nibbles + quals are CONTIGUOUS per record: one row
+            # copy each (a 2-D fancy gather here was 2x the whole
+            # budget; 65k small memcpys are ~20x cheaper)
+            span = nb + L
+            raw = np.empty((sel.size, span), dtype=np.uint8)
+            for i, o in enumerate(so):
+                raw[i] = buf[o:o + span]
+            packed = raw[:, :nb]
+            seq = np.empty((sel.size, 2 * nb), dtype=np.int8)
+            seq[:, 0::2] = byte_hi[packed]
+            seq[:, 1::2] = byte_lo[packed]
+            seq = seq[:, :L]
+            quals = raw[:, nb:nb + L]
+            p = pos[sel]
+            rc_full = ref_codes_by_id[rid]
+            vm_full = var_mask_by_id[rid]
+            rr = np.empty((sel.size, L), dtype=np.int8)
+            vm = np.empty((sel.size, L), dtype=bool)
+            for i, o in enumerate(p):
+                rr[i] = rc_full[o:o + L]
+                vm[i] = vm_full[o:o + L]
+            qq = np.minimum(quals, NUM_Q - 1)
+            use = (~vm) & (rr != 4) & (seq != 4)
+            err = use & (seq != rr)
+            q_chunks.append(qq[use])
+            e_chunks.append(qq[err])
+
+        if sum(x.size for x in q_chunks) > 50_000_000:
+            totals += np.bincount(np.concatenate(q_chunks),
+                                  minlength=NUM_Q)[:NUM_Q]
+            errors += np.bincount(np.concatenate(e_chunks),
+                                  minlength=NUM_Q)[:NUM_Q]
+            q_chunks.clear()
+            e_chunks.clear()
     if q_chunks:
         totals += np.bincount(np.concatenate(q_chunks), minlength=NUM_Q
                               )[:NUM_Q]

@@ -32,6 +32,8 @@ class BGZFStreamReader:
         self.read_bytes = read_bytes
         self.comp = bytearray()     # undecoded compressed tail
         self.out = bytearray()      # decoded, unconsumed
+        self.pos = 0                # read cursor into out (front-del
+        # per small read would memmove the whole buffer — O(n^2))
         self.eof = False
 
     def _fill_comp(self) -> bool:
@@ -84,12 +86,15 @@ class BGZFStreamReader:
 
     def read(self, want: int) -> bytes:
         """Up to `want` decompressed bytes ('' only at EOF)."""
-        while len(self.out) < want and not self.eof:
+        while len(self.out) - self.pos < want and not self.eof:
             progressed = self._decode_some()
             if not progressed and not self._fill_comp():
                 break
-        take = bytes(self.out[:want])
-        del self.out[:len(take)]
+        take = bytes(memoryview(self.out)[self.pos:self.pos + want])
+        self.pos += len(take)
+        if self.pos >= (1 << 20):
+            del self.out[:self.pos]
+            self.pos = 0
         return take
 
     def read_exact(self, want: int) -> bytes:
@@ -176,6 +181,67 @@ def iter_bam_chunks(path: str,
                     buf = []
             if buf:
                 yield buf
+        finally:
+            reader.f.close()
+
+    return header_text, refs, chunks()
+
+
+def iter_bam_raw_chunks(path: str,
+                        chunk_records: int = DEFAULT_CHUNK_RECORDS):
+    """(header_text, refs, iterator of (buf, offs, sizes)) where buf is
+    a uint8 array of concatenated raw records (block_size prefixes
+    included), offs[i] is the i-th record BODY offset into buf and
+    sizes[i] its body size.  Lets callers vector-extract fields for a
+    whole chunk without constructing per-record objects (the Python
+    per-record loop was the benchmark subcommand's bottleneck)."""
+    import numpy as np
+
+    header_text, refs, reader = open_bam_stream(path)
+
+    def chunks():
+        try:
+            while True:
+                # read a big decoded span, then cut at record boundaries
+                blob = reader.read(4 << 20)
+                if not blob:
+                    return
+                buf = bytearray(blob)
+                offs = []
+                sizes = []
+                off = 0
+                while True:
+                    while len(buf) - off < 4:
+                        more = reader.read(1 << 20)
+                        if not more:
+                            break
+                        buf += more
+                    if len(buf) - off < 4:
+                        if len(buf) - off:
+                            raise BAMError("truncated BAM record size")
+                        break
+                    size = int.from_bytes(buf[off:off + 4], "little",
+                                          signed=True)
+                    while len(buf) - off - 4 < size:
+                        more = reader.read(
+                            max(1 << 20, size - (len(buf) - off - 4)))
+                        if not more:
+                            raise BAMError("truncated BAM record")
+                        buf += more
+                    offs.append(off + 4)
+                    sizes.append(size)
+                    off += 4 + size
+                    if len(offs) >= chunk_records:
+                        break
+                if not offs:
+                    return
+                tail = buf[off:]
+                yield (np.frombuffer(bytes(buf[:off]), np.uint8),
+                       np.asarray(offs, np.int64),
+                       np.asarray(sizes, np.int64))
+                # push unconsumed tail back (simpler: keep as prefix)
+                if tail:
+                    reader.out[reader.pos:reader.pos] = tail
         finally:
             reader.f.close()
 
