@@ -71,7 +71,10 @@ def golden_quals(num_reads: int, read_len: int, k: int,
 
 
 def run(num_reads: int, read_len: int, k: int, batch_size: int,
-        parity: bool = True, use_pallas: bool | None = None) -> dict:
+        parity: bool = True, use_pallas: bool | None = None,
+        profile_dir: str | None = None) -> dict:
+    import contextlib
+
     import jax
     import numpy as np
 
@@ -111,20 +114,23 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
     pipe = RecalPipeline(cfg, 1, arrays.max_len, int(lens.sum()),
                          int(np.maximum(lens - k + 1, 0).sum()))
     mk = lambda: Batcher(arrays, cfg.batch_size)
+    prof = (jax.profiler.trace(profile_dir) if profile_dir
+            else contextlib.nullcontext())
     t0 = time.time()
     pass_times = {}
-    for name, fn in [("pass1", lambda: pipe.run_pass1(mk())),
-                     ("pass2", lambda: pipe.run_pass2(mk())),
-                     ("pass3", lambda: pipe.run_pass3(mk())),
-                     ("deltas", pipe.compute_recal_table)]:
+    with prof:
+        for name, fn in [("pass1", lambda: pipe.run_pass1(mk())),
+                         ("pass2", lambda: pipe.run_pass2(mk())),
+                         ("pass3", lambda: pipe.run_pass3(mk())),
+                         ("deltas", pipe.compute_recal_table)]:
+            tp = time.time()
+            fn()
+            pass_times[name] = round(time.time() - tp, 3)
+            _log(f"{name} done in {pass_times[name]}s")
         tp = time.time()
-        fn()
-        pass_times[name] = round(time.time() - tp, 3)
-        _log(f"{name} done in {pass_times[name]}s")
-    tp = time.time()
-    out = pipe.run_pass4(mk())
-    pass_times["pass4"] = round(time.time() - tp, 3)
-    _log(f"pass4 done in {pass_times['pass4']}s")
+        out = pipe.run_pass4(mk())
+        pass_times["pass4"] = round(time.time() - tp, 3)
+        _log(f"pass4 done in {pass_times['pass4']}s")
     dt = time.time() - t0
     _log(f"timed run done in {dt:.2f}s")
 
@@ -171,12 +177,16 @@ def main() -> int:
     ap.add_argument("--pallas", action="store_true",
                     help="route Bloom probes through the VMEM-resident "
                          "Pallas kernels (filter must fit VMEM)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "timed run into DIR")
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
     result = run(args.reads, args.read_len, args.k, args.batch_size,
                  parity=not args.no_parity,
-                 use_pallas=True if args.pallas else None)
+                 use_pallas=True if args.pallas else None,
+                 profile_dir=args.profile)
     print(json.dumps(result))
     return 0
 

@@ -9,12 +9,13 @@ import pytest
 
 from kbbq_tpu.ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
 from kbbq_tpu.ops.kmers import canonical_kmers_batch
-from kbbq_tpu.ops.pallas_bloom import bloom_query_windows_pallas
 
 
 @pytest.mark.parametrize("k", [16, 31, 32])
-def test_query_kernel_matches_xla(k):
+def test_probe_kernel_full_windows(k):
+    """Probe kernel over all windows of a batch matches the XLA query."""
     import jax.numpy as jnp
+    from kbbq_tpu.ops.pallas_bloom import bloom_query_rows_pallas
 
     rng = np.random.default_rng(5)
     B, L = 64, 100
@@ -29,8 +30,9 @@ def test_query_kernel_matches_xla(k):
     packed = bloom_rows(slots)
 
     want = np.asarray(bloom_query_rows(packed, hi, lo, 7) & valid)
-    got = np.asarray(bloom_query_windows_pallas(
-        packed, jnp.asarray(codes), k, 7, interpret=True))
+    got = np.asarray(bloom_query_rows_pallas(packed, hi, lo, 7,
+                                             interpret=True)
+                     & valid)
     assert got.shape == want.shape
     assert (got == want).all()
 
@@ -99,19 +101,20 @@ def test_pipeline_with_pallas_flag_bit_identical():
     assert (got == want).all()
 
 
-def test_query_kernel_batch_padding():
-    """B not a multiple of the lane width still matches."""
+def test_probe_kernel_odd_sizes():
+    """Probe counts not a multiple of the grid tile still match."""
     import jax.numpy as jnp
+    from kbbq_tpu.ops.pallas_bloom import bloom_query_rows_pallas
 
     rng = np.random.default_rng(6)
     k = 16
-    B, L = 300, 60  # pads to 2 lane groups
+    B, L = 300, 60  # 300*45 probes: pads to tile multiple
     codes = rng.integers(0, 4, (B, L)).astype(np.int8)
     hi, lo, valid = canonical_kmers_batch(jnp.asarray(codes), k)
     slots = jnp.zeros(1 << 16, dtype=jnp.uint8)
     slots = bloom_insert(slots, hi, lo, valid, 7)
     packed = bloom_rows(slots)
     want = np.asarray(bloom_query_rows(packed, hi, lo, 7) & valid)
-    got = np.asarray(bloom_query_windows_pallas(
-        packed, jnp.asarray(codes), k, 7, interpret=True))
+    got = np.asarray(bloom_query_rows_pallas(packed, hi, lo, 7,
+                                             interpret=True) & valid)
     assert (got == want).all()
