@@ -72,7 +72,7 @@ def golden_quals(num_reads: int, read_len: int, k: int,
 
 def run(num_reads: int, read_len: int, k: int, batch_size: int,
         parity: bool = True, use_pallas: bool | None = None,
-        profile_dir: str | None = None) -> dict:
+        profile_dir: str | None = None, resident: bool = True) -> dict:
     import contextlib
 
     import jax
@@ -102,37 +102,50 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
                       use_pallas=use_pallas)
     _log(f"data ready: {num_reads} reads x {read_len}bp")
 
-    # warm-up: full run on the SAME arrays so every jit signature (incl.
-    # the data-dependent Bloom sizes) is compiled before timing
-    recalibrate_arrays(arrays, cfg)
-    _log("warm-up (compile) done")
-
-    from kbbq_tpu.io.batcher import Batcher
-    from kbbq_tpu.pipeline.recalibrate import RecalPipeline
-
-    lens = arrays.mask.sum(axis=1)
-    pipe = RecalPipeline(cfg, 1, arrays.max_len, int(lens.sum()),
-                         int(np.maximum(lens - k + 1, 0).sum()))
-    mk = lambda: Batcher(arrays, cfg.batch_size)
     prof = (jax.profiler.trace(profile_dir) if profile_dir
             else contextlib.nullcontext())
-    t0 = time.time()
     pass_times = {}
-    with prof:
-        for name, fn in [("pass1", lambda: pipe.run_pass1(mk())),
-                         ("pass2", lambda: pipe.run_pass2(mk())),
-                         ("pass3", lambda: pipe.run_pass3(mk())),
-                         ("deltas", pipe.compute_recal_table)]:
+    if resident:
+        # device-resident variant: whole dataset on device once, one jit
+        # dispatch per pass (pipeline/resident.py) — removes the ~50 ms
+        # per-batch dispatch overhead of the axon relay
+        from kbbq_tpu.pipeline.resident import recalibrate_arrays_resident
+        recalibrate_arrays_resident(arrays, cfg)
+        _log("warm-up (compile) done")
+        t0 = time.time()
+        with prof:
+            out = recalibrate_arrays_resident(arrays, cfg,
+                                              timings=pass_times)
+        dt = time.time() - t0
+    else:
+        # warm-up: full run on the SAME arrays so every jit signature
+        # (incl. the data-dependent Bloom sizes) is compiled before timing
+        recalibrate_arrays(arrays, cfg)
+        _log("warm-up (compile) done")
+
+        from kbbq_tpu.io.batcher import Batcher
+        from kbbq_tpu.pipeline.recalibrate import RecalPipeline
+
+        lens = arrays.mask.sum(axis=1)
+        pipe = RecalPipeline(cfg, 1, arrays.max_len, int(lens.sum()),
+                             int(np.maximum(lens - k + 1, 0).sum()))
+        mk = lambda: Batcher(arrays, cfg.batch_size)
+        t0 = time.time()
+        with prof:
+            for name, fn in [("pass1", lambda: pipe.run_pass1(mk())),
+                             ("pass2", lambda: pipe.run_pass2(mk())),
+                             ("pass3", lambda: pipe.run_pass3(mk())),
+                             ("deltas", pipe.compute_recal_table)]:
+                tp = time.time()
+                fn()
+                pass_times[name] = round(time.time() - tp, 3)
+                _log(f"{name} done in {pass_times[name]}s")
             tp = time.time()
-            fn()
-            pass_times[name] = round(time.time() - tp, 3)
-            _log(f"{name} done in {pass_times[name]}s")
-        tp = time.time()
-        out = pipe.run_pass4(mk())
-        pass_times["pass4"] = round(time.time() - tp, 3)
-        _log(f"pass4 done in {pass_times['pass4']}s")
-    dt = time.time() - t0
-    _log(f"timed run done in {dt:.2f}s")
+            out = pipe.run_pass4(mk())
+            pass_times["pass4"] = round(time.time() - tp, 3)
+            _log(f"pass4 done in {pass_times['pass4']}s")
+        dt = time.time() - t0
+    _log(f"timed run done in {dt:.2f}s ({pass_times})")
 
     parity_ok = None
     if parity:
@@ -180,13 +193,17 @@ def main() -> int:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the "
                          "timed run into DIR")
+    ap.add_argument("--no-resident", action="store_true",
+                    help="use the per-batch dispatch pipeline instead of "
+                         "the device-resident one-dispatch-per-pass path")
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
     result = run(args.reads, args.read_len, args.k, args.batch_size,
                  parity=not args.no_parity,
                  use_pallas=True if args.pallas else None,
-                 profile_dir=args.profile)
+                 profile_dir=args.profile,
+                 resident=not args.no_resident)
     print(json.dumps(result))
     return 0
 

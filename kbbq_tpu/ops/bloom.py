@@ -61,7 +61,11 @@ def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     pos = probe_positions(hi, lo, num_hashes, log2_m).astype(jnp.int32)
     oob = jnp.int32(m)
     pos = jnp.where(mask[..., None], pos, oob)
-    return slots.at[pos.reshape(-1)].set(
+    # fence the index math out of the serialized scatter loop (see
+    # bloom_query_rows); the scatter body then only reads precomputed
+    # indices and stores the constant 1
+    pos = jax.lax.optimization_barrier(pos.reshape(-1))
+    return slots.at[pos].set(
         jnp.uint8(1), mode="drop", indices_are_sorted=False,
         unique_indices=False)
 
@@ -108,7 +112,14 @@ def bloom_query_rows(packed: jax.Array, hi: jax.Array, lo: jax.Array,
     """
     log2_m = int(packed.shape[0] * 32).bit_length() - 1
     block, off = block_and_offsets(hi, lo, num_hashes, log2_m)
+    # optimization_barrier fences keep the word fetch in its OWN fusion:
+    # TPU gathers lower to a serialized per-element loop, and without the
+    # fences XLA fuses the hash chain and the bit tests INTO that loop,
+    # serializing them too (measured 58 ns/probe fused vs ~13 ns for the
+    # bare gather).  Fenced, the hash math and bit tests stay vectorized.
+    block = jax.lax.optimization_barrier(block)
     word = packed[block]                    # [...] one fetch per k-mer
+    word = jax.lax.optimization_barrier(word)
     bits = (word[..., None] >> off.astype(_u32)) & _u32(1)
     return jnp.min(bits, axis=-1) > 0
 

@@ -38,29 +38,34 @@ from .kmers import kmer_hashes
 
 _u32 = jnp.uint32
 
-_QT = 1024  # probes per grid step: [1024, 128] row-gather = 512 KB
+_MIN_ROWS = 512  # pad small filters so each grid step serves >= 512 probes
 
 
 def _probe_kernel(block_ref, h2_ref, filt_ref, out_ref, *, num_hashes):
-    """block/h2 (QT, 1); filt (rows, 128) uint32 VMEM; out (QT, 1).
+    """block/h2 (S, 1); filt (S, 128) uint32 VMEM; out (S, 1).
 
-    out = 1 iff all num_hashes probe bits of the block word are set.
+    Mosaic's dynamic_gather requires operand == indices == output shape,
+    so one grid step serves exactly S probes where S is the filter's row
+    count: probe i (sublane i) fetches its block's whole 128-word row
+    (gather along sublanes), then selects its word (gather along lanes).
+    All probe bits share that one word (blocked design D3), so a single
+    select answers every hash.
     """
-    block = block_ref[:]                       # (QT, 1) int32
-    h2 = h2_ref[:]                             # (QT, 1) uint32
-    rowidx = jax.lax.shift_right_logical(block, 7).reshape(-1)
-    rows = jnp.take(filt_ref[:], rowidx, axis=0)       # (QT, 128)
-    col = (block & 127)                        # (QT, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-    word = jnp.sum(jnp.where(lane == col, rows, _u32(0)),
-                   axis=1, keepdims=True).astype(_u32)  # (QT, 1)
-    hit = jnp.ones(word.shape, dtype=jnp.bool_)
+    S = filt_ref.shape[0]
+    block = block_ref[:]                       # (S, 1) int32
+    h2 = h2_ref[:]                             # (S, 1) uint32
+    rowidx = jnp.broadcast_to(
+        jax.lax.shift_right_logical(block, 7), (S, 128))
+    rows = jnp.take_along_axis(filt_ref[:], rowidx, axis=0)  # (S, 128)
+    colidx = jnp.broadcast_to(block & 127, (S, 128))
+    wsel = jnp.take_along_axis(rows, colidx, axis=1)         # (S, 128)
+    hit = jnp.ones(wsel.shape, dtype=jnp.bool_)
     for j in range(num_hashes):
         s = _u32((j * 5) & 31)
         rot = (h2 >> s) | (h2 << ((_u32(32) - s) & _u32(31)))
-        off = rot & _u32(31)
-        hit = hit & (((word >> off) & _u32(1)) > 0)
-    out_ref[:] = hit.astype(jnp.int32)
+        off = jnp.broadcast_to(rot & _u32(31), (S, 128))
+        hit = hit & (((wsel >> off) & _u32(1)) > 0)
+    out_ref[:] = hit[:, :1].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hashes", "interpret"))
@@ -83,30 +88,31 @@ def bloom_query_rows_pallas(packed: jax.Array, hi: jax.Array,
 
     shape = block.shape
     N = block.size
-    total = ((N + _QT - 1) // _QT) * _QT
+
+    W = packed.shape[0]
+    rows = max(_MIN_ROWS, (W + 127) // 128)  # probes served per step
+    filt2d = jnp.concatenate(
+        [packed, jnp.zeros(rows * 128 - W, _u32)]).reshape(rows, 128)
+
+    total = ((N + rows - 1) // rows) * rows
     bf = jnp.concatenate(
         [block.reshape(-1), jnp.zeros(total - N, jnp.int32)]
     ).reshape(total, 1)
     hf = jnp.concatenate(
         [h2.reshape(-1), jnp.zeros(total - N, _u32)]).reshape(total, 1)
 
-    W = packed.shape[0]
-    Wr = ((W + 127) // 128) * 128
-    filt2d = jnp.concatenate(
-        [packed, jnp.zeros(Wr - W, _u32)]).reshape(Wr // 128, 128)
-
     kern = functools.partial(_probe_kernel, num_hashes=num_hashes)
     out = pl.pallas_call(
         kern,
-        grid=(total // _QT,),
+        grid=(total // rows,),
         in_specs=[
-            pl.BlockSpec((_QT, 1), lambda g: (g, 0),
+            pl.BlockSpec((rows, 1), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_QT, 1), lambda g: (g, 0),
+            pl.BlockSpec((rows, 1), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_QT, 1), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((rows, 1), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total, 1), jnp.int32),
         interpret=interpret,

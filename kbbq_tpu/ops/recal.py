@@ -29,5 +29,12 @@ def apply_recal_table(recal: jax.Array, codes: jax.Array, quals: jax.Array,
     cv = base_covariates(codes, quals, mask, seconds)
     rg = rgs.astype(_i32)[:, None]
     din = cv["din"]  # DINUC_INVALID (=16) indexes the zero-delta column
-    out = recal[rg, cv["q"], cv["cyc"], din]
+    # one flattened-index gather per base, fenced so the (serialized) TPU
+    # gather loop doesn't swallow the index math / output select (see
+    # ops/bloom.py::bloom_query_rows)
+    nrg, nq, nc, nd = recal.shape
+    flat = ((rg * nq + cv["q"]) * nc + cv["cyc"]) * nd + din
+    flat = jax.lax.optimization_barrier(flat)
+    out = recal.reshape(-1)[flat]
+    out = jax.lax.optimization_barrier(out)
     return jnp.where(cv["skip"], quals, out).astype(jnp.int8)

@@ -1,0 +1,205 @@
+"""Device-resident single-chip pipeline: one jit dispatch per pass.
+
+The batched pipeline (pipeline/recalibrate.py) dispatches one jitted
+step per batch; through the axon relay each dispatch costs tens of ms —
+more than the batch's compute at E. coli scale.  This variant puts the
+whole dataset on device ONCE (400k x 150 reads = 60 MB int8 codes) and
+runs each pass as a single jit containing a `lax.scan` over batch
+slices, so per-pass host<->device traffic is one dispatch + one small
+result.  Bit-identical to the batched pipeline (same step math, same
+batch widths, same ordinals).
+
+Used by bench.py (--resident) and recalibrate_arrays when the dataset
+fits the resident budget; the streaming paths remain the story for
+datasets larger than device HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.batcher import ReadArrays
+from ..oracle.bloom import BloomParams
+from ..oracle.gatk import build_recal_table
+from ..oracle.kmers import alpha_threshold
+from ..oracle.lighter import coverage_thresholds
+from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
+from ..ops.covariate import accumulate_covariates, new_covariate_state
+from ..ops.inference import WALK_CHUNK, infer_errors_batch
+from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
+from ..ops.recal import apply_recal_table
+from ..ops.trusted import trusted_mask_batch
+from .recalibrate import RecalConfig
+
+
+def _pad_to_batches(arrays: ReadArrays, B: int):
+    """Device-ready arrays padded to a whole number of batches."""
+    N = arrays.num_reads
+    nb = max(1, (N + B - 1) // B)
+    pad = nb * B - N
+    L = arrays.max_len
+
+    def p2(a, fill):
+        if not pad:
+            return a
+        return np.concatenate(
+            [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+
+    codes = p2(arrays.codes, 4)
+    quals = p2(arrays.quals, 0)
+    mask = p2(arrays.mask, False)
+    rgs = p2(arrays.rgs, 0)
+    seconds = p2(arrays.seconds, False)
+    ids = np.concatenate(
+        [np.arange(N, dtype=np.uint32),
+         np.full(pad, 0xFFFFFFFF, np.uint32)])
+    return (jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(mask),
+            jnp.asarray(rgs), jnp.asarray(seconds), jnp.asarray(ids),
+            nb)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "B"),
+                   donate_argnames=("slots",))
+def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
+    nb = codes.shape[0] // B
+
+    def body(carry, i):
+        slots = carry
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        rid = jax.lax.dynamic_slice_in_dim(ids, i * B, B, 0)
+        hi, lo, valid = canonical_kmers_batch(c, k)
+        keep = valid & sample_keep_mask(rid, hi.shape[1], threshold)
+        return bloom_insert(slots, hi, lo, keep, num_hashes), None
+
+    slots, _ = jax.lax.scan(body, slots, jnp.arange(nb))
+    return bloom_rows(slots)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "num_hashes", "trust_threshold",
+                                    "B"),
+                   donate_argnames=("slots_b",))
+def _pass2_all(rows_a, slots_b, codes, t_table, *, k, num_hashes,
+               trust_threshold, B):
+    nb = codes.shape[0] // B
+
+    def body(carry, i):
+        slots_b = carry
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        hi, lo, valid = canonical_kmers_batch(c, k)
+        hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
+        tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
+        return bloom_insert(slots_b, hi, lo, tr, num_hashes), None
+
+    slots_b, _ = jax.lax.scan(body, slots_b, jnp.arange(nb))
+    return bloom_rows(slots_b)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "num_hashes", "ext_cap",
+                                    "use_pallas", "B", "num_rg",
+                                    "max_len"))
+def _pass3_all(rows_b, codes, quals, mask, rgs, seconds, *, k, num_hashes,
+               ext_cap, use_pallas, B, num_rg, max_len):
+    nb = codes.shape[0] // B
+    cov0 = new_covariate_state(num_rg, max_len)
+
+    def body(cov, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+        c = sl(codes)
+        # WALK_CHUNK-wide walks (docs/KNOWN_ISSUES.md #1)
+        errs = [infer_errors_batch(rows_b, c[s:s + WALK_CHUNK], k,
+                                   num_hashes, ext_cap, use_pallas)
+                for s in range(0, B, WALK_CHUNK)]
+        errors = errs[0] if len(errs) == 1 else jnp.concatenate(errs, 0)
+        cov = accumulate_covariates(cov, c, sl(quals), sl(mask), sl(rgs),
+                                    sl(seconds), errors)
+        return cov, None
+
+    cov, _ = jax.lax.scan(body, cov0, jnp.arange(nb))
+    return cov
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _pass4_all(recal, codes, quals, mask, rgs, seconds, *, B):
+    nb = codes.shape[0] // B
+
+    def body(_, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+        nq = apply_recal_table(recal, sl(codes), sl(quals), sl(mask),
+                               sl(rgs), sl(seconds))
+        return None, nq
+
+    _, out = jax.lax.scan(body, None, jnp.arange(nb))
+    return out.reshape(codes.shape)
+
+
+def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
+                                timings: dict | None = None) -> np.ndarray:
+    """Full pipeline, one dispatch per pass.  Bit-identical to
+    recalibrate_arrays (tests assert it).  If `timings` is given, per-pass
+    wall times (s) are recorded into it (passes block at boundaries)."""
+    import time as _time
+    t_last = [_time.time()]
+
+    def _mark(name):
+        if timings is not None:
+            now = _time.time()
+            timings[name] = round(now - t_last[0], 3)
+            t_last[0] = now
+
+    k, h = config.k, config.num_hashes
+    B = config.batch_size
+    lens = arrays.mask.sum(axis=1)
+    total_bases = int(lens.sum())
+    total_kmers = int(np.maximum(lens - k + 1, 0).sum())
+    num_rg = int(arrays.rgs.max(initial=0)) + 1
+    alpha, coverage = config.resolve_alpha(total_bases)
+    threshold = jnp.uint32(alpha_threshold(alpha))
+    t_table = jnp.asarray(coverage_thresholds(alpha, k), dtype=jnp.int32)
+    from ..oracle.pipeline import expected_bloom_keys
+    n_a, n_b = expected_bloom_keys(total_kmers, alpha, coverage)
+    params_a = BloomParams.for_keys(n_a, config.sampled_bits_per_key, h)
+    params_b = BloomParams.for_keys(n_b, config.trusted_bits_per_key, h)
+
+    PALLAS_VMEM_BUDGET = 3 << 20  # packed bytes; probe kernel needs ~3x
+    use_pallas = (config.pallas_enabled()
+                  and params_b.m // 8 <= PALLAS_VMEM_BUDGET)
+
+    codes, quals, mask, rgs, seconds, ids, nb = _pad_to_batches(arrays, B)
+    jax.block_until_ready(codes)
+    _mark("h2d")
+
+    rows_a = _pass1_all(jnp.zeros(params_a.m, jnp.uint8), codes, ids,
+                        threshold, k=k, num_hashes=h, B=B)
+    jax.block_until_ready(rows_a)  # pass-boundary sync (KNOWN_ISSUES #6)
+    _mark("pass1")
+    rows_b = _pass2_all(rows_a, jnp.zeros(params_b.m, jnp.uint8), codes,
+                        t_table, k=k, num_hashes=h,
+                        trust_threshold=config.trust_threshold, B=B)
+    jax.block_until_ready(rows_b)
+    _mark("pass2")
+    cov = _pass3_all(rows_b, codes, quals, mask, rgs, seconds, k=k,
+                     num_hashes=h, ext_cap=config.ext_cap,
+                     use_pallas=use_pallas, B=B, num_rg=num_rg,
+                     max_len=arrays.max_len)
+    jax.block_until_ready(cov["cyc_total"])
+    _mark("pass3")
+
+    from ..state.covariate import CovariateAccumulator
+    acc = CovariateAccumulator(num_rg, arrays.max_len, 1)
+    acc.device_state = cov
+    acc.note_batch()
+    acc.flush()
+    recal = build_recal_table(acc.totals)
+    _mark("deltas")
+
+    out = _pass4_all(jnp.asarray(recal), codes, quals, mask, rgs,
+                     seconds, B=B)
+    res = np.asarray(out)[:arrays.num_reads]
+    _mark("pass4")
+    return res

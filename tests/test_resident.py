@@ -1,0 +1,46 @@
+"""Device-resident pipeline (pipeline/resident.py) parity.
+
+The resident variant runs each pass as ONE jit dispatch (lax.scan over
+batch slices) instead of one dispatch per batch; it must be bit-identical
+to the batched pipeline on the same arrays/config.
+"""
+
+import numpy as np
+import pytest
+
+from kbbq_tpu.io.batcher import ReadArrays
+from kbbq_tpu.pipeline import RecalConfig, recalibrate_arrays
+from kbbq_tpu.pipeline.resident import recalibrate_arrays_resident
+from kbbq_tpu.utils.synth import make_dataset
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    ds = make_dataset(genome_len=1200, read_len=60, coverage=25.0,
+                      error_rate=0.02, seed=31, num_rg=2, paired=True,
+                      n_rate=0.01)
+    return ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+
+
+def test_resident_matches_batched_bitforbit(arrays):
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=64)
+    want = recalibrate_arrays(arrays, cfg)
+    got = recalibrate_arrays_resident(arrays, cfg)
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+def test_resident_batch_size_invariance(arrays):
+    cfg_a = RecalConfig(k=16, coverage=25.0, batch_size=32)
+    cfg_b = RecalConfig(k=16, coverage=25.0, batch_size=128)
+    qa = recalibrate_arrays_resident(arrays, cfg_a)
+    qb = recalibrate_arrays_resident(arrays, cfg_b)
+    assert (qa == qb).all()
+
+
+def test_resident_nondivisible_batch(arrays):
+    # num_reads not a multiple of batch_size: padding must not leak
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=97)
+    want = recalibrate_arrays(arrays, cfg)
+    got = recalibrate_arrays_resident(arrays, cfg)
+    assert (got == want).all()
