@@ -70,6 +70,36 @@ def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,
         unique_indices=False)
 
 
+def bloom_insert_rows(slots: jax.Array, hi: jax.Array, lo: jax.Array,
+                      mask: jax.Array, num_hashes: int) -> jax.Array:
+    """bloom_insert with ONE scatter iteration per k-mer (not per probe).
+
+    TPU scatters run as a serialized per-index loop, so cost is set by
+    the INDEX COUNT, not bytes moved.  All `num_hashes` probe bits of a
+    k-mer live in one 32-bit block word (D3), i.e. within one aligned
+    32-byte span of the staging array — so we build each k-mer's 0/1
+    byte pattern vectorized as a 128-byte row and scatter-MAX whole rows:
+    num_hashes x fewer serialized iterations, and max over {0,1} bytes
+    is OR, so the final staging bytes are identical to bloom_insert's
+    (and remain shard-order-invariant: max commutes).
+    """
+    m = slots.shape[0]
+    log2_m = int(m).bit_length() - 1
+    assert (1 << log2_m) == m and m % 128 == 0
+    block, off = block_and_offsets(hi, lo, num_hashes, log2_m)
+    block = block.reshape(-1)
+    off = off.reshape(-1, num_hashes)
+    rowidx = block >> 2                       # 128-byte staging row
+    tgt = (block & 3)[:, None] * 32 + off     # byte lanes within the row
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 1), 1)
+    row = jnp.any(lane == tgt[:, None, :], axis=2).astype(jnp.uint8)
+    rowidx = jnp.where(mask.reshape(-1), rowidx, jnp.int32(m // 128))
+    rowidx, row = jax.lax.optimization_barrier((rowidx, row))
+    out = slots.reshape(m // 128, 128).at[rowidx].max(
+        row, mode="drop", unique_indices=False)
+    return out.reshape(m)
+
+
 @jax.jit
 def bloom_rows(slots: jax.Array) -> jax.Array:
     """Pack the byte filter into bit-blocks: uint32 [m/32], word b's bit j
@@ -112,14 +142,12 @@ def bloom_query_rows(packed: jax.Array, hi: jax.Array, lo: jax.Array,
     """
     log2_m = int(packed.shape[0] * 32).bit_length() - 1
     block, off = block_and_offsets(hi, lo, num_hashes, log2_m)
-    # optimization_barrier fences keep the word fetch in its OWN fusion:
-    # TPU gathers lower to a serialized per-element loop, and without the
-    # fences XLA fuses the hash chain and the bit tests INTO that loop,
-    # serializing them too (measured 58 ns/probe fused vs ~13 ns for the
-    # bare gather).  Fenced, the hash math and bit tests stay vectorized.
-    block = jax.lax.optimization_barrier(block)
+    # NOTE: fencing the gather into its own fusion with
+    # optimization_barrier was tried and made this SLOWER (88.7 vs
+    # 58.0 ns/probe measured on v5e) — the barrier materializes the
+    # index/word arrays to HBM without shrinking the serialized gather
+    # loop.  Leave the fetch fused.
     word = packed[block]                    # [...] one fetch per k-mer
-    word = jax.lax.optimization_barrier(word)
     bits = (word[..., None] >> off.astype(_u32)) & _u32(1)
     return jnp.min(bits, axis=-1) > 0
 

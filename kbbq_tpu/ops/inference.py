@@ -255,19 +255,25 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
 
 
 def infer_errors_core(query_fn, codes: jax.Array, k: int,
-                      reduce_any=jnp.any, ext_cap=None) -> jax.Array:
+                      reduce_any=jnp.any, ext_cap=None,
+                      trusted0=None) -> jax.Array:
     """Error mask per base for a batch (D7), generic over the trusted-
     filter query: query_fn(hi, lo) -> bool hits.  Used directly by the
     hash-space-sharded pipeline (whose query is a collective; it must
     also pass a globally-reduced `reduce_any` so every device runs the
     same number of rounds); single-chip callers use infer_errors_batch.
+
+    trusted0: optional precomputed `query_fn(hi, lo) & valid` for this
+    batch (callers that already queried all windows — e.g. for
+    difficulty scheduling — pass it to skip the redundant re-query).
     """
     B, L = codes.shape
     n = L - k + 1
 
     fhi, flo, rhi, rlo, valid = kmer_lanes_batch(codes, k)
-    hi, lo = canonical_from_lanes(fhi, flo, rhi, rlo)
-    trusted0 = query_fn(hi, lo) & valid
+    if trusted0 is None:
+        hi, lo = canonical_from_lanes(fhi, flo, rhi, rlo)
+        trusted0 = query_fn(hi, lo) & valid
 
     any_valid = valid.any(axis=1)
     all_tr = jnp.all(trusted0 | ~valid, axis=1)
@@ -318,7 +324,8 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
                                              "use_pallas"))
 def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
                        num_hashes: int, ext_cap=None,
-                       use_pallas: bool = False) -> jax.Array:
+                       use_pallas: bool = False,
+                       trusted0=None) -> jax.Array:
     """infer_errors_core against a local packed filter (uint32 [m/32]
     from ops.bloom.bloom_rows).  use_pallas routes every probe through
     the VMEM-resident Pallas kernel (ops/pallas_bloom.py) — the filter
@@ -329,7 +336,8 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
                                                     num_hashes)
     else:
         qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
-    return infer_errors_core(qf, codes, k, ext_cap=ext_cap)
+    return infer_errors_core(qf, codes, k, ext_cap=ext_cap,
+                             trusted0=trusted0)
 
 
 WALK_CHUNK = 256
@@ -360,8 +368,9 @@ def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
     read drags every lane of its chunk.  Sorting reads by their initial
     untrusted-window count groups hard reads together: total rounds drop
     from n_chunks x global-max to roughly the integral of the difficulty
-    distribution.  Everything stays on device (argsort + gather + inverse
-    scatter); the extra cost is one vectorized filter query (cheap).
+    distribution.  The scheduling query doubles as each chunk's
+    `trusted0` (passed through, so windows are queried ONCE, not twice).
+    Everything stays on device (argsort + gather + inverse scatter).
     """
     B, L = codes.shape
     if B <= chunk:
@@ -372,8 +381,40 @@ def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
     nbreaks = jnp.sum(valid & ~tr, axis=1)
     order = jnp.argsort(nbreaks)
     sorted_codes = codes[order]
+    sorted_tr = tr[order]
     outs = [infer_errors_batch(rows, sorted_codes[s:s + chunk],
-                               k, num_hashes, ext_cap, use_pallas)
+                               k, num_hashes, ext_cap, use_pallas,
+                               trusted0=sorted_tr[s:s + chunk])
             for s in range(0, B, chunk)]
     err_sorted = jnp.concatenate(outs, axis=0)
+    return jnp.zeros_like(err_sorted).at[order].set(err_sorted)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "chunk",
+                                             "ext_cap", "use_pallas"))
+def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
+                           chunk: int = WALK_CHUNK, ext_cap=None,
+                           use_pallas: bool = False) -> jax.Array:
+    """infer_errors_sorted with the chunk loop as `lax.map` (the walk
+    body is compiled ONCE, not unrolled B/chunk times) — same math, same
+    bits; the form used inside the resident pipeline's single-dispatch
+    pass 3 where B/chunk copies of the walk would dominate compile time.
+    Requires B % chunk == 0 (the resident pipeline pads batches).
+    """
+    B, L = codes.shape
+    if B <= chunk:
+        return infer_errors_batch(rows, codes, k, num_hashes, ext_cap,
+                                  use_pallas)
+    assert B % chunk == 0
+    hi, lo, valid = canonical_kmers_batch(codes, k)
+    tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
+    nbreaks = jnp.sum(valid & ~tr, axis=1)
+    order = jnp.argsort(nbreaks)
+    cc = codes[order].reshape(B // chunk, chunk, L)
+    tc = tr[order].reshape(B // chunk, chunk, tr.shape[1])
+    err_sorted = jax.lax.map(
+        lambda args: infer_errors_batch(rows, args[0], k, num_hashes,
+                                        ext_cap, use_pallas,
+                                        trusted0=args[1]),
+        (cc, tc)).reshape(B, L)
     return jnp.zeros_like(err_sorted).at[order].set(err_sorted)

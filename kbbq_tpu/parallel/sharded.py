@@ -32,7 +32,8 @@ from ..oracle.bloom import BloomParams
 from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
-from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
+from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
+    bloom_rows
 from ..ops.covariate import accumulate_covariates, new_covariate_state
 from ..ops.inference import WALK_CHUNK, infer_errors_batch
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
@@ -62,7 +63,7 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int,
     def step_sample(slots_dm, codes, read_ids, threshold):
         hi, lo, valid = canonical_kmers_batch(codes, k)
         keep = valid & sample_keep_mask(read_ids, hi.shape[1], threshold)
-        return bloom_insert(slots_dm[0], hi, lo, keep, num_hashes)[None]
+        return bloom_insert_rows(slots_dm[0], hi, lo, keep, num_hashes)[None]
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh,
@@ -72,7 +73,7 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int,
         hi, lo, valid = canonical_kmers_batch(codes, k)
         hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
         tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
-        return bloom_insert(slots_b_dm[0], hi, lo, tr, num_hashes)[None]
+        return bloom_insert_rows(slots_b_dm[0], hi, lo, tr, num_hashes)[None]
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh,

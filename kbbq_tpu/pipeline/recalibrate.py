@@ -28,7 +28,8 @@ from ..oracle.bloom import BloomParams
 from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
-from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
+from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
+    bloom_rows
 from ..ops.covariate import accumulate_covariates
 from ..ops.inference import infer_errors_sorted
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
@@ -79,7 +80,7 @@ class RecalConfig:
 def _step_sample(slots, codes, read_ids, threshold, *, k, num_hashes):
     hi, lo, valid = canonical_kmers_batch(codes, k)
     keep = valid & sample_keep_mask(read_ids, hi.shape[1], threshold)
-    return bloom_insert(slots, hi, lo, keep, num_hashes)
+    return bloom_insert_rows(slots, hi, lo, keep, num_hashes)
 
 
 @functools.partial(jax.jit,
@@ -95,7 +96,7 @@ def _step_trusted(rows_a, slots_b, codes, t_table, *, k, num_hashes,
     else:
         hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
     tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
-    return bloom_insert(slots_b, hi, lo, tr, num_hashes)
+    return bloom_insert_rows(slots_b, hi, lo, tr, num_hashes)
 
 
 # accumulate with donated tables; error inference goes through the

@@ -27,9 +27,11 @@ from ..oracle.bloom import BloomParams
 from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
-from ..ops.bloom import bloom_insert, bloom_query_rows, bloom_rows
+from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
+    bloom_rows
 from ..ops.covariate import accumulate_covariates, new_covariate_state
-from ..ops.inference import WALK_CHUNK, infer_errors_batch
+from ..ops.inference import WALK_CHUNK, infer_errors_batch, \
+    infer_errors_scheduled
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table
 from ..ops.trusted import trusted_mask_batch
@@ -73,7 +75,7 @@ def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
         rid = jax.lax.dynamic_slice_in_dim(ids, i * B, B, 0)
         hi, lo, valid = canonical_kmers_batch(c, k)
         keep = valid & sample_keep_mask(rid, hi.shape[1], threshold)
-        return bloom_insert(slots, hi, lo, keep, num_hashes), None
+        return bloom_insert_rows(slots, hi, lo, keep, num_hashes), None
 
     slots, _ = jax.lax.scan(body, slots, jnp.arange(nb))
     return bloom_rows(slots)
@@ -93,7 +95,7 @@ def _pass2_all(rows_a, slots_b, codes, t_table, *, k, num_hashes,
         hi, lo, valid = canonical_kmers_batch(c, k)
         hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
         tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
-        return bloom_insert(slots_b, hi, lo, tr, num_hashes), None
+        return bloom_insert_rows(slots_b, hi, lo, tr, num_hashes), None
 
     slots_b, _ = jax.lax.scan(body, slots_b, jnp.arange(nb))
     return bloom_rows(slots_b)
@@ -111,11 +113,15 @@ def _pass3_all(rows_b, codes, quals, mask, rgs, seconds, *, k, num_hashes,
     def body(cov, i):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
         c = sl(codes)
-        # WALK_CHUNK-wide walks (docs/KNOWN_ISSUES.md #1)
-        errs = [infer_errors_batch(rows_b, c[s:s + WALK_CHUNK], k,
-                                   num_hashes, ext_cap, use_pallas)
-                for s in range(0, B, WALK_CHUNK)]
-        errors = errs[0] if len(errs) == 1 else jnp.concatenate(errs, 0)
+        # WALK_CHUNK-wide walks (docs/KNOWN_ISSUES.md #1), difficulty-
+        # scheduled, walk body compiled once (lax.map inside)
+        if B <= WALK_CHUNK or B % WALK_CHUNK:
+            errors = infer_errors_batch(rows_b, c, k, num_hashes,
+                                        ext_cap, use_pallas)
+        else:
+            errors = infer_errors_scheduled(rows_b, c, k, num_hashes,
+                                            ext_cap=ext_cap,
+                                            use_pallas=use_pallas)
         cov = accumulate_covariates(cov, c, sl(quals), sl(mask), sl(rgs),
                                     sl(seconds), errors)
         return cov, None
