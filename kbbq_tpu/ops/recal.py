@@ -17,6 +17,55 @@ from .covariate import base_covariates
 _i32 = jnp.int32
 
 
+def apply_recal_table_host(recal, codes, quals, mask, rgs, seconds,
+                           chunk: int = 65536):
+    """NumPy twin of apply_recal_table, bit-identical by construction.
+
+    Pass 4 is a pure integer gather over the tiny recal table; running it
+    on the HOST lets the resident pipeline skip the [N, L] recalibrated-
+    quality device->host transfer entirely (the table is ~1000x smaller
+    than the output it generates).  All ops are integer, so host/device
+    agreement is exact; tests/test_resident.py pins it.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    from ..constants import DINUC_INVALID, MIN_USABLE_Q, NUM_Q
+
+    N, L = codes.shape
+    out = np.empty((N, L), np.int8)
+    i32 = np.int32
+    pos = np.arange(L, dtype=i32)[None, :]
+    recal_flat = np.ascontiguousarray(recal).reshape(-1)
+    nrg, nq, nc, nd = recal.shape
+
+    def work(s):
+        e = min(N, s + chunk)
+        c = codes[s:e].astype(i32)
+        q0 = quals[s:e].astype(i32)
+        skip = (~mask[s:e]) | (c == 4) | (q0 < MIN_USABLE_Q)
+        q = np.clip(q0, 0, NUM_Q - 1)
+        cyc = pos * 2 + seconds[s:e, None].astype(i32)
+        prev = np.concatenate(
+            [np.full((e - s, 1), 4, i32), c[:, :-1]], axis=1)
+        din_ok = (prev != 4) & (c != 4) & (pos > 0)
+        din = np.where(din_ok, prev * 4 + c, DINUC_INVALID)
+        rg = rgs[s:e].astype(i32)[:, None]
+        flat = ((rg * nq + q) * nc + cyc) * nd + din
+        res = recal_flat[flat]
+        out[s:e] = np.where(skip, q0, res).astype(np.int8)
+
+    starts = range(0, N, chunk)
+    # big numpy ufuncs release the GIL; chunks are disjoint so threaded
+    # writes into `out` are race-free and the result is bit-identical to
+    # the sequential loop
+    with ThreadPoolExecutor(min(os.cpu_count() or 1, 8)) as ex:
+        list(ex.map(work, starts))
+    return out
+
+
 @jax.jit
 def apply_recal_table(recal: jax.Array, codes: jax.Array, quals: jax.Array,
                       mask: jax.Array, rgs: jax.Array,

@@ -48,16 +48,26 @@ def empirical_quality(errors, total, prior) -> np.ndarray:
     n = np.asarray(total, dtype=np.float64)
     pr = np.asarray(prior, dtype=np.float64)
     e, n, pr = np.broadcast_arrays(e, n, pr)
-    # log-likelihood per candidate q: [..., NUM_Q]
-    log10_nck = (gammaln(n + 1.0) - gammaln(e + 1.0)
-                 - gammaln(n - e + 1.0)) / _LN10
-    ll = (log10_nck[..., None]
-          + e[..., None] * _LOG10_P
-          + (n - e)[..., None] * _LOG10_1MP)
-    post = log10_prior(_QS - pr[..., None]) + ll
-    emp = np.argmax(post, axis=-1).astype(np.float64)  # argmax: first max
-    empty = n == 0
-    return np.where(empty, np.clip(np.round(pr), 0, MAX_Q), emp)
+    # n == 0 cells take the prior; the likelihood is evaluated only on
+    # occupied cells (most covariate cells are empty on real data — the
+    # compaction is a big host-time win and bit-exact: kept cells see
+    # the identical elementwise float64 ops, so the argmax is unchanged)
+    out = np.clip(np.round(pr), 0.0, float(MAX_Q))
+    nz = np.flatnonzero(n.ravel() > 0)
+    if nz.size:
+        ef = e.reshape(-1)[nz]
+        nf = n.reshape(-1)[nz]
+        pf = pr.reshape(-1)[nz]
+        # log-likelihood per candidate q: [cells, NUM_Q]
+        log10_nck = (gammaln(nf + 1.0) - gammaln(ef + 1.0)
+                     - gammaln(nf - ef + 1.0)) / _LN10
+        ll = (log10_nck[..., None]
+              + ef[..., None] * _LOG10_P
+              + (nf - ef)[..., None] * _LOG10_1MP)
+        post = log10_prior(_QS - pf[..., None]) + ll
+        emp = np.argmax(post, axis=-1).astype(np.float64)  # ties: first
+        out.reshape(-1)[nz] = emp
+    return out
 
 
 def _mean_reported_q(q_total: np.ndarray) -> np.ndarray:

@@ -33,13 +33,60 @@ from ..ops.covariate import accumulate_covariates, new_covariate_state
 from ..ops.inference import WALK_CHUNK, infer_errors_batch, \
     infer_errors_scheduled
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
-from ..ops.recal import apply_recal_table
+from ..ops.recal import apply_recal_table, apply_recal_table_host
 from ..ops.trusted import trusted_mask_batch
 from .recalibrate import RecalConfig
 
 
+def _pack_halves(codes: np.ndarray) -> np.ndarray:
+    """Nibble-pack a [N, L] code array (values 0..4) into [N, ceil(L/2)].
+
+    Byte j holds code[j] in the high nibble and code[j + Lh] in the low
+    nibble (first half / second half, NOT even/odd interleave), so the
+    device-side unpack is a pure lane concatenate — no strided scatter,
+    no 3-D intermediates (docs/KNOWN_ISSUES.md #9).  Lossless for the
+    0..4 alphabet; halves the dominant host->device transfer through
+    the axon tunnel.
+    """
+    N, L = codes.shape
+    if L % 2:
+        codes = np.concatenate(
+            [codes, np.full((N, 1), 4, codes.dtype)], axis=1)
+    Lh = codes.shape[1] // 2
+    c = codes.astype(np.uint8)
+    return (c[:, :Lh] << 4) | c[:, Lh:]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "n_real"))
+def _expand_inputs(packed, lens, *, L, n_real):
+    """Device-side reconstruction of codes/mask/ids from the packed feed.
+
+    codes: unpack the two nibble planes and lane-concatenate (bit-exact
+    inverse of _pack_halves).  mask: prefix mask from per-read lengths
+    (io/batcher.py builds mask as `mask[i, :len] = True`, so lengths are
+    a lossless encoding at 1/8L the bytes).  ids: global read ordinals,
+    0xFFFFFFFF for padding rows (excluded from sampling).
+    """
+    npad = packed.shape[0]
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = (packed & 0xF).astype(jnp.int8)
+    codes = jnp.concatenate([hi, lo], axis=1)[:, :L]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (npad, L), 1)
+    mask = pos < lens[:, None].astype(jnp.int32)
+    r = jnp.arange(npad, dtype=jnp.uint32)
+    ids = jnp.where(r < np.uint32(n_real), r, jnp.uint32(0xFFFFFFFF))
+    return codes, mask, ids
+
+
 def _pad_to_batches(arrays: ReadArrays, B: int):
-    """Device-ready arrays padded to a whole number of batches."""
+    """Stage arrays on device, padded to a whole number of batches.
+
+    Minimizes tunnel bytes: codes go nibble-packed (2x), the [N, L] mask
+    goes as uint16 lengths (16x), ids are derived on device.  quals are
+    shipped as-is but asynchronously — the caller dispatches pass 1
+    (which needs only codes) before blocking on them, so the transfer
+    overlaps pass-1/2 compute.
+    """
     N = arrays.num_reads
     nb = max(1, (N + B - 1) // B)
     pad = nb * B - N
@@ -51,17 +98,23 @@ def _pad_to_batches(arrays: ReadArrays, B: int):
         return np.concatenate(
             [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
 
-    codes = p2(arrays.codes, 4)
-    quals = p2(arrays.quals, 0)
-    mask = p2(arrays.mask, False)
+    codes_h = p2(arrays.codes, 4)
+    lens = p2(arrays.mask.sum(axis=1).astype(np.uint16), 0)
     rgs = p2(arrays.rgs, 0)
     seconds = p2(arrays.seconds, False)
-    ids = np.concatenate(
-        [np.arange(N, dtype=np.uint32),
-         np.full(pad, 0xFFFFFFFF, np.uint32)])
-    return (jnp.asarray(codes), jnp.asarray(quals), jnp.asarray(mask),
-            jnp.asarray(rgs), jnp.asarray(seconds), jnp.asarray(ids),
-            nb)
+
+    packed = jnp.asarray(_pack_halves(codes_h))
+    codes, mask, ids = _expand_inputs(packed, jnp.asarray(lens),
+                                      L=L, n_real=N)
+    # quals are only read by pass 3; device_put blocks through the axon
+    # tunnel, so ship them from a background thread — the transfer
+    # overlaps pass-1/2 compute and the caller joins before pass 3
+    import concurrent.futures as _cf
+    _ex = _cf.ThreadPoolExecutor(1)
+    quals_fut = _ex.submit(jax.device_put, p2(arrays.quals, 0))
+    _ex.shutdown(wait=False)
+    return (codes, quals_fut, mask, jnp.asarray(rgs), jnp.asarray(seconds),
+            ids, nb)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes", "B"),
@@ -176,7 +229,8 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     use_pallas = (config.pallas_enabled()
                   and params_b.m // 8 <= PALLAS_VMEM_BUDGET)
 
-    codes, quals, mask, rgs, seconds, ids, nb = _pad_to_batches(arrays, B)
+    codes, quals_fut, mask, rgs, seconds, ids, nb = \
+        _pad_to_batches(arrays, B)
     jax.block_until_ready(codes)
     _mark("h2d")
 
@@ -189,6 +243,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                         trust_threshold=config.trust_threshold, B=B)
     jax.block_until_ready(rows_b)
     _mark("pass2")
+    quals = quals_fut.result()   # transfer overlapped passes 1-2
     cov = _pass3_all(rows_b, codes, quals, mask, rgs, seconds, k=k,
                      num_hashes=h, ext_cap=config.ext_cap,
                      use_pallas=use_pallas, B=B, num_rg=num_rg,
@@ -204,8 +259,10 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     recal = build_recal_table(acc.totals)
     _mark("deltas")
 
-    out = _pass4_all(jnp.asarray(recal), codes, quals, mask, rgs,
-                     seconds, B=B)
-    res = np.asarray(out)[:arrays.num_reads]
+    # pass 4 on HOST: a pure integer gather over the tiny recal table,
+    # bit-identical to the device kernel (ops/recal.py twin) — avoids
+    # shipping [N, L] recalibrated quals back through the tunnel
+    res = apply_recal_table_host(recal, arrays.codes, arrays.quals,
+                                 arrays.mask, arrays.rgs, arrays.seconds)
     _mark("pass4")
     return res

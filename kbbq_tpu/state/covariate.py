@@ -14,6 +14,19 @@ import numpy as np
 from ..oracle.covariate import CovariateTables
 from ..ops.covariate import new_covariate_state
 
+_FLUSH_KEYS = ("cyc_total", "cyc_errors", "din_total", "din_errors")
+
+
+def _flatten_state(state: dict):
+    """One flat i32 vector for a single device->host transfer.
+
+    Four separate d2h transfers each pay a full tunnel round trip on the
+    axon relay; concatenating on device makes the flush one transfer.
+    Lazily jitted (module import must not touch a backend).
+    """
+    import jax.numpy as jnp
+    return jnp.concatenate([state[k].reshape(-1) for k in _FLUSH_KEYS])
+
 
 @dataclasses.dataclass
 class CovariateAccumulator:
@@ -43,8 +56,15 @@ class CovariateAccumulator:
         # NOTE: np.asarray(device_array, dtype=...) takes a pathological
         # per-element path through the axon tunnel (measured 258s for
         # ~250KB); plain asarray then astype is instant.
-        s = {k: np.asarray(v).astype(np.int64)
-             for k, v in self.device_state.items()}
+        flat = np.asarray(_flatten_state(self.device_state)) \
+            .astype(np.int64)
+        off = 0
+        s = {}
+        for k in _FLUSH_KEYS:
+            sh = self.device_state[k].shape
+            n = int(np.prod(sh))
+            s[k] = flat[off:off + n].reshape(sh)
+            off += n
         self.totals.cyc_total += s["cyc_total"]
         self.totals.cyc_errors += s["cyc_errors"]
         self.totals.din_total += s["din_total"]
