@@ -72,7 +72,8 @@ def golden_quals(num_reads: int, read_len: int, k: int,
 
 def run(num_reads: int, read_len: int, k: int, batch_size: int,
         parity: bool = True, use_pallas: bool | None = None,
-        profile_dir: str | None = None, resident: bool = True) -> dict:
+        profile_dir: str | None = None, resident: bool = True,
+        walk_chunk: int | None = None) -> dict:
     import contextlib
 
     import jax
@@ -99,7 +100,7 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
         genome_len=genome_len, read_len=read_len, num_reads=num_reads,
         error_rate=0.005, seed=0)
     cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size,
-                      use_pallas=use_pallas)
+                      use_pallas=use_pallas, walk_chunk=walk_chunk)
     _log(f"data ready: {num_reads} reads x {read_len}bp")
 
     prof = (jax.profiler.trace(profile_dir) if profile_dir
@@ -193,6 +194,8 @@ def main() -> int:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler device trace of the "
                          "timed run into DIR")
+    ap.add_argument("--walk-chunk", type=int, default=None,
+                    help="pass-3 walk width (default ops.inference WALK_CHUNK)")
     ap.add_argument("--no-resident", action="store_true",
                     help="use the per-batch dispatch pipeline instead of "
                          "the device-resident one-dispatch-per-pass path")
@@ -203,7 +206,8 @@ def main() -> int:
                  parity=not args.no_parity,
                  use_pallas=True if args.pallas else None,
                  profile_dir=args.profile,
-                 resident=not args.no_resident)
+                 resident=not args.no_resident,
+                 walk_chunk=args.walk_chunk)
     print(json.dumps(result))
     return 0
 

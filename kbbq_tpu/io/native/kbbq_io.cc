@@ -223,4 +223,66 @@ int64_t kbbq_fastq_index(const uint8_t* buf, size_t n, int64_t* out,
   return nrec;
 }
 
+// ------------------------------------------------------- pass-4 recal
+//
+// Per-base recalibrated-quality gather (reference analog: the per-read
+// qual rewrite in pub:src/kbbq/recalibrateutils.cc pass 4).  The device
+// twin is ops/recal.py::apply_recal_table; the resident pipeline runs
+// pass 4 on the host to avoid shipping [N, L] qualities back through the
+// device link, and this native kernel replaces the NumPy fallback's ~10
+// full-array temporaries with one fused pass (bit-identical by
+// construction: all-integer math).
+//
+// recal: int8 [nrg, nq, nc, nd]; codes/quals int8 [N, L]; mask uint8
+// [N, L]; rgs int32 [N]; seconds uint8 [N]; out int8 [N, L].
+// min_usable_q / dinuc_invalid passed in so constants.py stays the
+// single source of truth.
+void kbbq_apply_recal(const int8_t* recal, int32_t nrg, int32_t nq,
+                      int32_t nc, int32_t nd, const int8_t* codes,
+                      const int8_t* quals, const uint8_t* mask,
+                      const int32_t* rgs, const uint8_t* seconds,
+                      int64_t N, int64_t L, int32_t min_usable_q,
+                      int32_t dinuc_invalid, int8_t* out,
+                      int32_t threads) {
+  (void)nrg;
+  if (threads < 1) threads = 1;
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; i++) {
+      const int8_t* c = codes + i * L;
+      const int8_t* q = quals + i * L;
+      const uint8_t* m = mask + i * L;
+      int8_t* o = out + i * L;
+      int32_t sec = seconds[i] ? 1 : 0;
+      const int8_t* tab_rg = recal + (int64_t)rgs[i] * nq * nc * nd;
+      int32_t prev = 4;
+      for (int64_t j = 0; j < L; j++) {
+        int32_t cj = c[j], q0 = q[j];
+        if (!m[j] || cj == 4 || q0 < min_usable_q) {
+          o[j] = (int8_t)q0;
+          prev = cj;
+          continue;
+        }
+        int32_t qc = q0 < 0 ? 0 : (q0 > nq - 1 ? nq - 1 : q0);
+        int32_t cyc = (int32_t)(j * 2) + sec;
+        int32_t din = (j > 0 && prev != 4 && cj != 4) ? prev * 4 + cj
+                                                      : dinuc_invalid;
+        o[j] = tab_rg[((int64_t)qc * nc + cyc) * nd + din];
+        prev = cj;
+      }
+    }
+  };
+  if (threads == 1 || N < 4096) {
+    work(0, N);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t step = (N + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; t++) {
+    int64_t r0 = t * step, r1 = r0 + step > N ? N : r0 + step;
+    if (r0 >= r1) break;
+    pool.emplace_back(work, r0, r1);
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

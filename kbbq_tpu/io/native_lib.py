@@ -66,6 +66,12 @@ def get_lib():
     lib.kbbq_fastq_index.restype = ctypes.c_int64
     lib.kbbq_fastq_index.argtypes = [
         ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t]
+    lib.kbbq_apply_recal.restype = None
+    lib.kbbq_apply_recal.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -102,6 +108,36 @@ def bgzf_compress(data: bytes, level: int = 6) -> bytes | None:
     if n < 0:
         raise ValueError(f"native BGZF compress failed ({n})")
     return out[:n].tobytes()
+
+
+def apply_recal(recal, codes, quals, mask, rgs, seconds,
+                min_usable_q: int, dinuc_invalid: int):
+    """Native pass-4 gather -> int8 [N, L], or None if no native lib.
+
+    Twin of ops/recal.py::apply_recal_table_host's NumPy body (which is
+    itself the host twin of the device kernel); bit-identical, one fused
+    pass instead of ~10 full-array temporaries.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    recal = np.ascontiguousarray(recal, dtype=np.int8)
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    quals = np.ascontiguousarray(quals, dtype=np.int8)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    rgs = np.ascontiguousarray(rgs, dtype=np.int32)
+    seconds = np.ascontiguousarray(seconds, dtype=np.uint8)
+    N, L = codes.shape
+    nrg, nq, nc, nd = recal.shape
+    out = np.empty((N, L), dtype=np.int8)
+    cp = ctypes.c_void_p
+    lib.kbbq_apply_recal(
+        recal.ctypes.data_as(cp), nrg, nq, nc, nd,
+        codes.ctypes.data_as(cp), quals.ctypes.data_as(cp),
+        mask.ctypes.data_as(cp), rgs.ctypes.data_as(cp),
+        seconds.ctypes.data_as(cp), N, L, min_usable_q, dinuc_invalid,
+        out.ctypes.data_as(cp), os.cpu_count() or 1)
+    return out
 
 
 def fastq_index(buf: np.ndarray):

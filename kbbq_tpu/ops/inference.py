@@ -69,15 +69,15 @@ def _leading_true(x: jax.Array) -> jax.Array:
 def _longest_run_anchors(trusted: jax.Array):
     """Batched longest-True-run (ties -> leftmost): (a, b, has) each [B].
 
-    Matches oracle _longest_true_run.
+    Matches oracle _longest_true_run.  run[i] = i - (index of last False
+    at or before i) — a single cummax instead of a length-n scan (the
+    scan emitted n sub-us ops per chunk; per-op overhead dominated the
+    walk setup, device trace round 2).
     """
-    def step(run, t):
-        nrun = jnp.where(t, run + 1, 0)
-        return nrun, nrun
-
-    B = trusted.shape[0]
-    _, runs = jax.lax.scan(step, jnp.zeros(B, _i32), trusted.T)
-    runs = runs.T                                   # [B, n]
+    i = jax.lax.broadcasted_iota(_i32, trusted.shape, 1)
+    last_false = jax.lax.cummax(
+        jnp.where(trusted, jnp.int32(-1), i), axis=1)
+    runs = jnp.where(trusted, i - last_false, 0)    # [B, n]
     b = jnp.argmax(runs, axis=1).astype(_i32)       # first max == leftmost
     ln = jnp.take_along_axis(runs, b[:, None], 1)[:, 0]
     a = b - ln + 1

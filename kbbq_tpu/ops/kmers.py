@@ -36,6 +36,15 @@ def fmix32(x: jax.Array) -> jax.Array:
     return x
 
 
+def _shl64(hi, lo, s: int):
+    """(hi, lo) << s for a static shift 0 <= s < 64 (2-lane u32 emulation)."""
+    if s == 0:
+        return hi, lo
+    if s >= 32:
+        return (lo << (s - 32)) if s > 32 else lo, jnp.zeros_like(lo)
+    return (hi << s) | (lo >> (32 - s)), lo << s
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def kmer_lanes_batch(codes: jax.Array, k: int):
     """Raw forward/RC lane pairs for every window of every read.
@@ -45,54 +54,67 @@ def kmer_lanes_batch(codes: jax.Array, k: int):
       k: static k-mer size (<= 32).
     Returns:
       (fhi, flo, rhi, rlo, valid): uint32 x4 + bool, each [B, n], n = L-k+1.
-      Lane values of invalid windows are unspecified (scan resets on N).
+      Lane values of invalid windows are unspecified.
 
-    The fast inference kernel patches these lanes in place on substitution
-    (O(1) per window) instead of re-rolling the window (O(k)).
+    Built by LOG-DOUBLING, not a length-L `lax.scan`: segment packs of
+    width w combine pairwise into width-2w packs via static rolls and
+    2-lane shift-ors, so the whole batch packs in ~log2(k) full-width
+    vector steps.  The scan formulation emitted ~25 sub-us ops per base
+    position; at the walk's 256-lane chunk width that per-op overhead
+    dominated pass-3 wall time (device trace, docs/PERF.md round 2).
+    Window j takes only positions [j, j+k), so the circular roll wrap
+    never reaches a valid window.  The fast inference kernel patches
+    these lanes in place on substitution (O(1) per window).
     """
     B, L = codes.shape
     n = L - k + 1
     assert n >= 1, "read length must be >= k"
 
-    if k >= 17:
-        mask_hi = _u32((1 << (2 * k - 32)) - 1)
-        rc_shift = 2 * k - 34  # comp << rc_shift into hi lane
-    else:
-        mask_lo = _u32((1 << (2 * k)) - 1)
-        rc_shift = 2 * k - 2
+    c32 = jnp.where(codes < 4, codes, 0).astype(_u32)
+    comp = _u32(3) - c32
+    bvalid = codes < 4
+    z = jnp.zeros_like(c32)
 
-    def step(carry, c):
-        fh, fl, rh, rl, run = carry
-        c = c.astype(jnp.int32)
-        valid = c < 4
-        cc = jnp.where(valid, c, 0).astype(_u32)
-        comp = _u32(3) - cc
-        if k >= 17:
-            nfh = ((fh << 2) | (fl >> 30)) & mask_hi
-            nfl = fl << 2 | cc
-            nrl = (rl >> 2) | ((rh & _u32(3)) << 30)
-            nrh = ((rh >> 2) | (comp << rc_shift)) & mask_hi
+    roll = lambda a, off: jnp.roll(a, -off, axis=1) if off else a
+
+    # segment packs by doubling: fwd[w][i] = bases [i, i+w) packed 2-bit
+    # big-endian; rc[w][i] = complemented bases [i, i+w) packed reversed;
+    # val[w][i] = all w bases valid
+    fwd = {1: (z, c32)}
+    rc = {1: (z, comp)}
+    val = {1: bvalid}
+    w = 1
+    while w < k:
+        fh, fl = fwd[w]
+        rh, rl = rc[w]
+        sh, sl = _shl64(fh, fl, 2 * w)
+        fwd[2 * w] = (sh | roll(fh, w), sl | roll(fl, w))
+        th, tl = _shl64(roll(rh, w), roll(rl, w), 2 * w)
+        rc[2 * w] = (th | rh, tl | rl)
+        val[2 * w] = val[w] & roll(val[w], w)
+        w *= 2
+
+    # compose k from its binary decomposition (MSB first)
+    fhi = flo = rhi = rlo = None
+    valid = None
+    acc_w = 0
+    for p in sorted(fwd, reverse=True):
+        if not (k & p):
+            continue
+        fh, fl = (roll(fwd[p][0], acc_w), roll(fwd[p][1], acc_w))
+        rh, rl = (roll(rc[p][0], acc_w), roll(rc[p][1], acc_w))
+        v = roll(val[p], acc_w)
+        if fhi is None:
+            fhi, flo, rhi, rlo, valid = fh, fl, rh, rl, v
         else:
-            nfh = jnp.zeros_like(fh)
-            nfl = ((fl << 2) | cc) & mask_lo
-            nrl = ((rl >> 2) | (comp << rc_shift)) & mask_lo
-            nrh = jnp.zeros_like(rh)
-        z = _u32(0)
-        nfh = jnp.where(valid, nfh, z)
-        nfl = jnp.where(valid, nfl, z)
-        nrh = jnp.where(valid, nrh, z)
-        nrl = jnp.where(valid, nrl, z)
-        nrun = jnp.where(valid, run + 1, 0)
-        out_valid = nrun >= k
-        return ((nfh, nfl, nrh, nrl, nrun),
-                (nfh, nfl, nrh, nrl, out_valid))
-
-    z = jnp.zeros((B,), dtype=_u32)
-    init = (z, z, z, z, jnp.zeros((B,), dtype=jnp.int32))
-    _, (fhi, flo, rhi, rlo, valid) = jax.lax.scan(step, init, codes.T)
-    # emitted at step i describes window j = i-k+1
-    return (fhi[k - 1:].T, flo[k - 1:].T, rhi[k - 1:].T, rlo[k - 1:].T,
-            valid[k - 1:].T)
+            fhi, flo = _shl64(fhi, flo, 2 * p)
+            fhi, flo = fhi | fh, flo | fl
+            # reversed pack: later (rightmost) segment goes HIGH
+            rh2, rl2 = _shl64(rh, rl, 2 * acc_w)
+            rhi, rlo = rhi | rh2, rlo | rl2
+            valid = valid & v
+        acc_w += p
+    return (fhi[:, :n], flo[:, :n], rhi[:, :n], rlo[:, :n], valid[:, :n])
 
 
 def canonical_from_lanes(fhi, flo, rhi, rlo):

@@ -33,6 +33,12 @@ def apply_recal_table_host(recal, codes, quals, mask, rgs, seconds,
     import numpy as np
 
     from ..constants import DINUC_INVALID, MIN_USABLE_Q, NUM_Q
+    from ..io import native_lib
+
+    res = native_lib.apply_recal(np.asarray(recal), codes, quals, mask,
+                                 rgs, seconds, MIN_USABLE_Q, DINUC_INVALID)
+    if res is not None:
+        return res
 
     N, L = codes.shape
     out = np.empty((N, L), np.int8)

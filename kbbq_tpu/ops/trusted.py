@@ -14,24 +14,31 @@ import jax.numpy as jnp
 
 def _window_sum_full(x: jax.Array, k: int) -> jax.Array:
     """Full-convolution sliding sum: out[i] = sum x[j], j in [i-k+1, i]
-    clipped to [0, n).  x: int32 [B, n] -> int32 [B, n+k-1]."""
+    clipped to [0, n).  x: int32 [B, n] -> int32 [B, n+k-1].
+
+    The clipped index vectors are piecewise-affine, so the two cumsum
+    reads are static slices + edge broadcasts — no gather (TPU gathers
+    run serialized; a [B, n+k-1] fancy-index here cost ~10ms/batch)."""
     B, n = x.shape
     cs = jnp.concatenate(
         [jnp.zeros((B, 1), x.dtype), jnp.cumsum(x, axis=1)], axis=1)
-    i = jnp.arange(n + k - 1)
-    top = jnp.minimum(i + 1, n)
-    bot = jnp.clip(i - k + 1, 0, n)
-    return cs[:, top] - cs[:, bot]
+    # top[i] = min(i+1, n): cols 1..n then col n repeated k-1 times
+    top = jnp.concatenate(
+        [cs[:, 1:n + 1],
+         jnp.broadcast_to(cs[:, n:n + 1], (B, k - 1))], axis=1)
+    # bot[i] = clip(i-k+1, 0, n): col 0 repeated k times, then 1..n-1
+    bot = jnp.concatenate(
+        [jnp.broadcast_to(cs[:, 0:1], (B, k)), cs[:, 1:n]], axis=1)
+    return top - bot
 
 
 def _window_sum_valid(x: jax.Array, k: int) -> jax.Array:
     """Valid-convolution sliding sum: out[j] = sum x[j..j+k-1].
-    x: int32 [B, L] -> int32 [B, L-k+1]."""
+    x: int32 [B, L] -> int32 [B, L-k+1].  Static slices, no gather."""
     B, L = x.shape
     cs = jnp.concatenate(
         [jnp.zeros((B, 1), x.dtype), jnp.cumsum(x, axis=1)], axis=1)
-    j = jnp.arange(L - k + 1)
-    return cs[:, j + k] - cs[:, j]
+    return cs[:, k:] - cs[:, :L - k + 1]
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -60,7 +67,13 @@ def trusted_mask_batch(hits: jax.Array, valid: jax.Array,
     Returns: bool [B, n].
     """
     s, x = coverage_counts(hits, valid, k)
-    covered = s >= thresholds[x]
+    # thresholds[x] as a k+1-step select chain: a [B, L] gather from the
+    # tiny table would run serialized (~1.2M probes/batch); x is bounded
+    # by k+1 values so static compares fuse into cheap vector selects
+    th = jnp.zeros_like(s)
+    for t in range(thresholds.shape[0]):
+        th = jnp.where(x == t, thresholds[t], th)
+    covered = s >= th
     T = k if trust_threshold is None else trust_threshold
     covc = _window_sum_valid(covered.astype(jnp.int32), k)
     return valid & (covc >= T)

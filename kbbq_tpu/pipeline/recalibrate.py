@@ -51,6 +51,11 @@ class RecalConfig:
     trust_threshold: int | None = None
     ext_cap: int | None = None   # None -> DEFAULT_EXT_CAP (D7)
     batch_size: int = 512
+    # walk width for pass-3 error inference (None -> ops.inference
+    # WALK_CHUNK).  Wider walks amortize per-round dispatch overhead
+    # over more lanes but pay max-rounds-over-width; output is
+    # bit-identical at any width (tests assert it)
+    walk_chunk: int | None = None
     # None = auto (KBBQ_PALLAS env); Pallas probes need the packed
     # filter to fit VMEM — gated per-filter in the pipeline
     use_pallas: bool | None = None

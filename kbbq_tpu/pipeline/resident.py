@@ -157,22 +157,24 @@ def _pass2_all(rows_a, slots_b, codes, t_table, *, k, num_hashes,
 @functools.partial(jax.jit,
                    static_argnames=("k", "num_hashes", "ext_cap",
                                     "use_pallas", "B", "num_rg",
-                                    "max_len"))
+                                    "max_len", "walk_chunk"))
 def _pass3_all(rows_b, codes, quals, mask, rgs, seconds, *, k, num_hashes,
-               ext_cap, use_pallas, B, num_rg, max_len):
+               ext_cap, use_pallas, B, num_rg, max_len,
+               walk_chunk=WALK_CHUNK):
     nb = codes.shape[0] // B
     cov0 = new_covariate_state(num_rg, max_len)
 
     def body(cov, i):
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
         c = sl(codes)
-        # WALK_CHUNK-wide walks (docs/KNOWN_ISSUES.md #1), difficulty-
-        # scheduled, walk body compiled once (lax.map inside)
-        if B <= WALK_CHUNK or B % WALK_CHUNK:
+        # walk_chunk-wide walks, difficulty-scheduled, walk body
+        # compiled once (lax.map inside)
+        if B <= walk_chunk or B % walk_chunk:
             errors = infer_errors_batch(rows_b, c, k, num_hashes,
                                         ext_cap, use_pallas)
         else:
             errors = infer_errors_scheduled(rows_b, c, k, num_hashes,
+                                            chunk=walk_chunk,
                                             ext_cap=ext_cap,
                                             use_pallas=use_pallas)
         cov = accumulate_covariates(cov, c, sl(quals), sl(mask), sl(rgs),
@@ -247,7 +249,8 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     cov = _pass3_all(rows_b, codes, quals, mask, rgs, seconds, k=k,
                      num_hashes=h, ext_cap=config.ext_cap,
                      use_pallas=use_pallas, B=B, num_rg=num_rg,
-                     max_len=arrays.max_len)
+                     max_len=arrays.max_len,
+                     walk_chunk=config.walk_chunk or WALK_CHUNK)
     jax.block_until_ready(cov["cyc_total"])
     _mark("pass3")
 
