@@ -91,8 +91,15 @@ def bloom_insert_rows(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     off = off.reshape(-1, num_hashes)
     rowidx = block >> 2                       # 128-byte staging row
     tgt = (block & 3)[:, None] * 32 + off     # byte lanes within the row
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128, 1), 1)
-    row = jnp.any(lane == tgt[:, None, :], axis=2).astype(jnp.uint8)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # OR of num_hashes [N, 128] one-hot compares, NOT one [N, 128, h]
+    # broadcast: a minor dim of h(=4) pads to the 128-lane tile on TPU
+    # (docs/KNOWN_ISSUES.md #9) — the 3-D form cost ~15 ms/batch in the
+    # round-2 device trace vs ~2 ms for the fused 2-D compares
+    hit = lane == tgt[:, 0:1]
+    for j in range(1, num_hashes):
+        hit = hit | (lane == tgt[:, j:j + 1])
+    row = hit.astype(jnp.uint8)
     rowidx = jnp.where(mask.reshape(-1), rowidx, jnp.int32(m // 128))
     rowidx, row = jax.lax.optimization_barrier((rowidx, row))
     out = slots.reshape(m // 128, 128).at[rowidx].max(

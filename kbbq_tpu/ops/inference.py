@@ -256,7 +256,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
 
 def infer_errors_core(query_fn, codes: jax.Array, k: int,
                       reduce_any=jnp.any, ext_cap=None,
-                      trusted0=None) -> jax.Array:
+                      trusted0=None, lanes=None) -> jax.Array:
     """Error mask per base for a batch (D7), generic over the trusted-
     filter query: query_fn(hi, lo) -> bool hits.  Used directly by the
     hash-space-sharded pipeline (whose query is a collective; it must
@@ -266,11 +266,15 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     trusted0: optional precomputed `query_fn(hi, lo) & valid` for this
     batch (callers that already queried all windows — e.g. for
     difficulty scheduling — pass it to skip the redundant re-query).
+    lanes: optional precomputed kmer_lanes_batch(codes, k) tuple —
+    scheduled callers compute lanes once at batch level and slice, so
+    the per-chunk walk bodies skip the packing entirely.
     """
     B, L = codes.shape
     n = L - k + 1
 
-    fhi, flo, rhi, rlo, valid = kmer_lanes_batch(codes, k)
+    fhi, flo, rhi, rlo, valid = (kmer_lanes_batch(codes, k)
+                                 if lanes is None else lanes)
     if trusted0 is None:
         hi, lo = canonical_from_lanes(fhi, flo, rhi, rlo)
         trusted0 = query_fn(hi, lo) & valid
@@ -325,7 +329,7 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
 def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
                        num_hashes: int, ext_cap=None,
                        use_pallas: bool = False,
-                       trusted0=None) -> jax.Array:
+                       trusted0=None, lanes=None) -> jax.Array:
     """infer_errors_core against a local packed filter (uint32 [m/32]
     from ops.bloom.bloom_rows).  use_pallas routes every probe through
     the VMEM-resident Pallas kernel (ops/pallas_bloom.py) — the filter
@@ -337,7 +341,22 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
     else:
         qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
     return infer_errors_core(qf, codes, k, ext_cap=ext_cap,
-                             trusted0=trusted0)
+                             trusted0=trusted0, lanes=lanes)
+
+
+def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
+    """Row permutation as an MXU one-hot matmul: out[i] = x[order[i]]
+    when onehot[i, order[i]] = 1.
+
+    TPU row gathers (x[order]) and scatters run as serialized per-index
+    loops (~ms for an [8k, 150] batch, device trace round 2); a one-hot
+    [B, B] x [B, C] matmul moves the same rows at MXU speed.  Exact for
+    the small-integer/bool payloads here: each output element is a
+    single bf16 product accumulated in f32.
+    """
+    y = jax.lax.dot(onehot_bf16, x.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    return y.astype(x.dtype)
 
 
 WALK_CHUNK = 256
@@ -400,6 +419,13 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     bits; the form used inside the resident pipeline's single-dispatch
     pass 3 where B/chunk copies of the walk would dominate compile time.
     Requires B % chunk == 0 (the resident pipeline pads batches).
+
+    Round-2 device trace: the walks themselves were ~1s of a 4.5s pass 3
+    — the rest was scheduling overhead (serialized permutation gather/
+    scatter, per-chunk lane packing).  So the permutation runs on the
+    MXU (one-hot matmuls, _permute_rows_mxu), lanes are packed ONCE at
+    batch level on the sorted codes and sliced per chunk, and the
+    initial all-window query doubles as every chunk's trusted0.
     """
     B, L = codes.shape
     if B <= chunk:
@@ -408,13 +434,24 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     assert B % chunk == 0
     hi, lo, valid = canonical_kmers_batch(codes, k)
     tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
+    n = tr.shape[1]
     nbreaks = jnp.sum(valid & ~tr, axis=1)
     order = jnp.argsort(nbreaks)
-    cc = codes[order].reshape(B // chunk, chunk, L)
-    tc = tr[order].reshape(B // chunk, chunk, tr.shape[1])
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    onehot = (col == order[:, None]).astype(jnp.bfloat16)
+    sc = _permute_rows_mxu(onehot, codes)
+    st = _permute_rows_mxu(onehot, tr)
+    # lanes for ALL chunks in one vectorized pack over the sorted batch
+    lanes_s = kmer_lanes_batch(sc, k)
+    nc = B // chunk
+    cc = sc.reshape(nc, chunk, L)
+    tc = st.reshape(nc, chunk, n)
+    lc = tuple(a.reshape(nc, chunk, n) for a in lanes_s)
     err_sorted = jax.lax.map(
         lambda args: infer_errors_batch(rows, args[0], k, num_hashes,
                                         ext_cap, use_pallas,
-                                        trusted0=args[1]),
-        (cc, tc)).reshape(B, L)
-    return jnp.zeros_like(err_sorted).at[order].set(err_sorted)
+                                        trusted0=args[1],
+                                        lanes=args[2:]),
+        (cc, tc) + lc).reshape(B, L)
+    # inverse permutation: out[order[i]] = err_sorted[i] == onehot^T
+    return _permute_rows_mxu(onehot.T, err_sorted)

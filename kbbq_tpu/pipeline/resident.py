@@ -38,41 +38,51 @@ from ..ops.trusted import trusted_mask_batch
 from .recalibrate import RecalConfig
 
 
-def _pack_halves(codes: np.ndarray) -> np.ndarray:
-    """Nibble-pack a [N, L] code array (values 0..4) into [N, ceil(L/2)].
+def _pack_quarters(codes: np.ndarray) -> np.ndarray:
+    """2-bit-pack a [N, L] code array into [N, ceil(L/4)] bytes.
 
-    Byte j holds code[j] in the high nibble and code[j + Lh] in the low
-    nibble (first half / second half, NOT even/odd interleave), so the
+    Byte j holds codes[j], codes[j+Lq], codes[j+2Lq], codes[j+3Lq] in
+    consecutive 2-bit fields (quarter planes, NOT interleaved), so the
     device-side unpack is a pure lane concatenate — no strided scatter,
-    no 3-D intermediates (docs/KNOWN_ISSUES.md #9).  Lossless for the
-    0..4 alphabet; halves the dominant host->device transfer through
-    the axon tunnel.
+    no 3-D intermediates (docs/KNOWN_ISSUES.md #9).  N bases (code 4)
+    don't fit 2 bits; the caller ships their positions as a sparse int32
+    list and re-scatters 4s on device — N bases are rare in real data,
+    and the split quarters the dominant host->device transfer through
+    the axon tunnel.  Padding rows/columns need no entries: the device
+    mask (from per-read lengths) re-marks them.
     """
     N, L = codes.shape
-    if L % 2:
+    pad = (-L) % 4
+    if pad:
         codes = np.concatenate(
-            [codes, np.full((N, 1), 4, codes.dtype)], axis=1)
-    Lh = codes.shape[1] // 2
-    c = codes.astype(np.uint8)
-    return (c[:, :Lh] << 4) | c[:, Lh:]
+            [codes, np.zeros((N, pad), codes.dtype)], axis=1)
+    Lq = codes.shape[1] // 4
+    c = (codes.astype(np.uint8) & 3)
+    return (c[:, :Lq] | (c[:, Lq:2 * Lq] << 2)
+            | (c[:, 2 * Lq:3 * Lq] << 4) | (c[:, 3 * Lq:] << 6))
 
 
 @functools.partial(jax.jit, static_argnames=("L", "n_real"))
-def _expand_inputs(packed, lens, *, L, n_real):
+def _expand_inputs(packed, n_pos, lens, *, L, n_real):
     """Device-side reconstruction of codes/mask/ids from the packed feed.
 
-    codes: unpack the two nibble planes and lane-concatenate (bit-exact
-    inverse of _pack_halves).  mask: prefix mask from per-read lengths
+    codes: unpack the four 2-bit quarter planes and lane-concatenate
+    (bit-exact inverse of _pack_quarters), re-mark everything past each
+    read's length as 4 via the mask, then scatter 4 at the sparse
+    in-read N positions.  mask: prefix mask from per-read lengths
     (io/batcher.py builds mask as `mask[i, :len] = True`, so lengths are
     a lossless encoding at 1/8L the bytes).  ids: global read ordinals,
     0xFFFFFFFF for padding rows (excluded from sampling).
     """
     npad = packed.shape[0]
-    hi = (packed >> 4).astype(jnp.int8)
-    lo = (packed & 0xF).astype(jnp.int8)
-    codes = jnp.concatenate([hi, lo], axis=1)[:, :L]
+    planes = [((packed >> s) & 3).astype(jnp.int8) for s in (0, 2, 4, 6)]
+    codes = jnp.concatenate(planes, axis=1)[:, :L]
     pos = jax.lax.broadcasted_iota(jnp.int32, (npad, L), 1)
     mask = pos < lens[:, None].astype(jnp.int32)
+    codes = jnp.where(mask, codes, jnp.int8(4))
+    if n_pos.shape[0]:
+        codes = codes.reshape(-1).at[n_pos].set(
+            jnp.int8(4), mode="drop").reshape(npad, L)
     r = jnp.arange(npad, dtype=jnp.uint32)
     ids = jnp.where(r < np.uint32(n_real), r, jnp.uint32(0xFFFFFFFF))
     return codes, mask, ids
@@ -99,12 +109,20 @@ def _pad_to_batches(arrays: ReadArrays, B: int):
             [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
 
     codes_h = p2(arrays.codes, 4)
-    lens = p2(arrays.mask.sum(axis=1).astype(np.uint16), 0)
+    lens_h = p2(arrays.mask.sum(axis=1).astype(np.uint16), 0)
     rgs = p2(arrays.rgs, 0)
     seconds = p2(arrays.seconds, False)
 
-    packed = jnp.asarray(_pack_halves(codes_h))
-    codes, mask, ids = _expand_inputs(packed, jnp.asarray(lens),
+    # sparse N positions: only in-mask N bases need shipping (mask
+    # re-marks tails and padding rows on device)
+    in_mask = (np.arange(L, dtype=np.int32)[None, :]
+               < lens_h[:, None].astype(np.int32))
+    packed = _pack_quarters(codes_h)
+    n_pos = np.flatnonzero(
+        (codes_h == 4) & in_mask).astype(np.int32)
+    codes, mask, ids = _expand_inputs(jnp.asarray(packed),
+                                      jnp.asarray(n_pos),
+                                      jnp.asarray(lens_h),
                                       L=L, n_real=N)
     # quals are only read by pass 3; device_put blocks through the axon
     # tunnel, so ship them from a background thread — the transfer
@@ -156,17 +174,18 @@ def _pass2_all(rows_a, slots_b, codes, t_table, *, k, num_hashes,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "num_hashes", "ext_cap",
-                                    "use_pallas", "B", "num_rg",
-                                    "max_len", "walk_chunk"))
-def _pass3_all(rows_b, codes, quals, mask, rgs, seconds, *, k, num_hashes,
-               ext_cap, use_pallas, B, num_rg, max_len,
-               walk_chunk=WALK_CHUNK):
+                                    "use_pallas", "B", "walk_chunk"))
+def _pass3_walks(rows_b, codes, *, k, num_hashes, ext_cap, use_pallas,
+                 B, walk_chunk=WALK_CHUNK):
+    """Error inference for every batch: bool [N, L].  Dispatched BEFORE
+    joining the quals transfer — the walks need only codes, so the
+    [N, L] quals host->device transfer overlaps walk compute instead of
+    blocking pass 3 (the transfer costs ~wall-seconds through the axon
+    tunnel; on real PCIe the overlap is still free)."""
     nb = codes.shape[0] // B
-    cov0 = new_covariate_state(num_rg, max_len)
 
-    def body(cov, i):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
-        c = sl(codes)
+    def body(_, i):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
         # walk_chunk-wide walks, difficulty-scheduled, walk body
         # compiled once (lax.map inside)
         if B <= walk_chunk or B % walk_chunk:
@@ -177,8 +196,23 @@ def _pass3_all(rows_b, codes, quals, mask, rgs, seconds, *, k, num_hashes,
                                             chunk=walk_chunk,
                                             ext_cap=ext_cap,
                                             use_pallas=use_pallas)
-        cov = accumulate_covariates(cov, c, sl(quals), sl(mask), sl(rgs),
-                                    sl(seconds), errors)
+        return None, errors
+
+    _, errors = jax.lax.scan(body, None, jnp.arange(nb))
+    return errors.reshape(codes.shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("B", "num_rg", "max_len"))
+def _pass3_accum(errors, codes, quals, mask, rgs, seconds, *, B, num_rg,
+                 max_len):
+    nb = codes.shape[0] // B
+    cov0 = new_covariate_state(num_rg, max_len)
+
+    def body(cov, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * B, B, 0)
+        cov = accumulate_covariates(cov, sl(codes), sl(quals), sl(mask),
+                                    sl(rgs), sl(seconds), sl(errors))
         return cov, None
 
     cov, _ = jax.lax.scan(body, cov0, jnp.arange(nb))
@@ -245,12 +279,14 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                         trust_threshold=config.trust_threshold, B=B)
     jax.block_until_ready(rows_b)
     _mark("pass2")
-    quals = quals_fut.result()   # transfer overlapped passes 1-2
-    cov = _pass3_all(rows_b, codes, quals, mask, rgs, seconds, k=k,
-                     num_hashes=h, ext_cap=config.ext_cap,
-                     use_pallas=use_pallas, B=B, num_rg=num_rg,
-                     max_len=arrays.max_len,
-                     walk_chunk=config.walk_chunk or WALK_CHUNK)
+    # dispatch the walks (codes-only) first, THEN join the quals
+    # transfer: it overlaps walk compute in addition to passes 1-2
+    errors = _pass3_walks(rows_b, codes, k=k, num_hashes=h,
+                          ext_cap=config.ext_cap, use_pallas=use_pallas,
+                          B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
+    quals = quals_fut.result()
+    cov = _pass3_accum(errors, codes, quals, mask, rgs, seconds, B=B,
+                       num_rg=num_rg, max_len=arrays.max_len)
     jax.block_until_ready(cov["cyc_total"])
     _mark("pass3")
 

@@ -1,0 +1,21 @@
+"""One-process bench session (tunnel quirk: batch TPU work, no churn)."""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+
+
+def report(cfg, r):
+    print(json.dumps({"cfg": cfg, "rps": r["value"], "parity": r["parity"],
+                      "passes": r["detail"]["pass_times_s"]}), flush=True)
+
+
+r = bench.run(400_000, 150, 32, 8192)
+report("default", r)
+
+r = bench.run(400_000, 150, 32, 8192, walk_chunk=512)
+report("wc512", r)
+
+r = bench.run(400_000, 150, 32, 8192, walk_chunk=1024)
+report("wc1024", r)

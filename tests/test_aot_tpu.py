@@ -68,7 +68,7 @@ def test_walk_compile(v5e):
 
 def test_resident_passes_compile(v5e):
     from kbbq_tpu.pipeline.resident import (
-        _pass1_all, _pass2_all, _pass3_all, _pass4_all)
+        _pass1_all, _pass2_all, _pass3_accum, _pass3_walks, _pass4_all)
 
     B, N, L, M = 512, 1024, 150, 1 << 22
     codes = jax.ShapeDtypeStruct((N, L), jnp.int8)
@@ -79,6 +79,7 @@ def test_resident_passes_compile(v5e):
     ids = jax.ShapeDtypeStruct((N,), jnp.uint32)
     slots = jax.ShapeDtypeStruct((M,), jnp.uint8)
     rows = jax.ShapeDtypeStruct((M // 32,), jnp.uint32)
+    errs = jax.ShapeDtypeStruct((N, L), jnp.bool_)
 
     _compile(v5e, functools.partial(_pass1_all.__wrapped__, k=32,
                                     num_hashes=7, B=B),
@@ -88,11 +89,15 @@ def test_resident_passes_compile(v5e):
                                     B=B),
              rows, slots, codes,
              jax.ShapeDtypeStruct((200,), jnp.int32))
-    _compile(v5e, functools.partial(_pass3_all.__wrapped__, k=32,
+    # B > walk_chunk so the MXU-scheduled walk path is the one compiled
+    _compile(v5e, functools.partial(_pass3_walks.__wrapped__, k=32,
                                     num_hashes=7, ext_cap=None,
-                                    use_pallas=False, B=B, num_rg=1,
-                                    max_len=L),
-             rows, codes, quals, mask, rgs, secs)
+                                    use_pallas=False, B=B,
+                                    walk_chunk=256),
+             rows, codes)
+    _compile(v5e, functools.partial(_pass3_accum.__wrapped__, B=B,
+                                    num_rg=1, max_len=L),
+             errs, codes, quals, mask, rgs, secs)
     _compile(v5e, functools.partial(_pass4_all.__wrapped__, B=B),
              jax.ShapeDtypeStruct((1, 94, 2 * L, 17), jnp.int8),
              codes, quals, mask, rgs, secs)

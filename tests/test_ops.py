@@ -201,6 +201,13 @@ def test_infer_errors_chunked_matches_plain():
     from kbbq_tpu.ops.inference import infer_errors_sorted
     srt = np.asarray(infer_errors_sorted(rows, codes, k, 7, chunk=32))
     assert (plain == srt).all()
+    # scheduled variant (lax.map walks + MXU one-hot permutation):
+    # must be bit-identical too (needs a chunk-divisible batch)
+    from kbbq_tpu.ops.inference import infer_errors_scheduled
+    B = (codes.shape[0] // 32) * 32
+    sch = np.asarray(infer_errors_scheduled(rows, codes[:B], k, 7,
+                                            chunk=32))
+    assert (plain[:B] == sch).all()
     # empty-filter corner: no anchors anywhere -> nothing marked
     empty = jnp.zeros_like(rows)
     got = np.asarray(infer_errors_batch(empty, codes, k, 7))

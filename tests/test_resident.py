@@ -44,3 +44,22 @@ def test_resident_nondivisible_batch(arrays):
     want = recalibrate_arrays(arrays, cfg)
     got = recalibrate_arrays_resident(arrays, cfg)
     assert (got == want).all()
+
+
+def test_resident_mixed_lengths():
+    # ragged reads: the packed h2d feed re-marks per-read tails as 4 on
+    # device from the shipped lengths; a leak would corrupt k-mer
+    # validity at read ends
+    ds = make_dataset(genome_len=900, read_len=48, coverage=20.0,
+                      error_rate=0.02, seed=7, n_rate=0.02)
+    rng = np.random.default_rng(3)
+    codes, quals = [], []
+    for c, q in zip(ds.codes, ds.quals):
+        ln = int(rng.integers(20, len(c) + 1))
+        codes.append(np.asarray(c)[:ln])
+        quals.append(np.asarray(q)[:ln])
+    arrays = ReadArrays.from_lists(codes, quals, ds.rgs, ds.seconds)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want = recalibrate_arrays(arrays, cfg)
+    got = recalibrate_arrays_resident(arrays, cfg)
+    assert (got == want).all()
