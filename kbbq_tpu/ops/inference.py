@@ -148,19 +148,33 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     work: int8 [B, L+2k]; lanes: 4x uint32 [B, n+k] + valid bool [B, n+k];
     teff: bool [B, n] effective trust; err: bool [B, L]; j0: [B] cursor
     (n = done).  Returns (work, lanes, teff, err).
+
+    The round body is per-op-overhead-bound at walk width (~250 sub-ms
+    ops dominated by 16 separate barrel-shift roll sets, ~1.3 ms/round
+    measured round 2).  So the five mutable [B, n+k] planes (4 lane
+    words + effective trust) live STACKED as one [5B, n+k] uint32 array:
+    the window take is ONE roll of [6B, n+k] (stack + invariant valid)
+    and the put-back is one value roll + one shared mask roll — same
+    arithmetic, same bits, ~5x fewer roll ops.
     """
     from ..constants import DEFAULT_EXT_CAP
     W = min(ext_cap if ext_cap is not None else DEFAULT_EXT_CAP, k)
     # trial-extension cap (D7; --ext-cap k = reference semantics)
     B = work.shape[0]
     fhi, flo, rhi, rlo, valid = lanes
+    nk = valid.shape[1]                             # n + k
     validn = valid[:, :n]
-    brows = jax.lax.broadcasted_iota(_i32, (B, k), 0)
+    valid_u = valid.astype(_u32)
     t_vec = jax.lax.broadcasted_iota(_i32, (1, k), 1)
     tw_vec = t_vec[:, :W]
     bit_f = (2 * t_vec)[None]                       # [1, 1, k]
     bit_r = (2 * (k - 1 - t_vec))[None]
     cand = jnp.arange(4, dtype=_i32)
+
+    # stacked mutable planes: [5B, n+k] = fhi | flo | rhi | rlo | teff
+    teff_pad = jnp.concatenate(
+        [teff.astype(_u32), jnp.zeros((B, k), _u32)], 1)
+    st0 = jnp.concatenate([fhi, flo, rhi, rlo, teff_pad], 0)
 
     def cond(st):
         # reduce_any must be GLOBAL when query_fn contains collectives
@@ -169,16 +183,20 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         return reduce_any(st[0] < n)
 
     def body(st):
-        j, work, fhi, flo, rhi, rlo, teff, err = st
+        j, work, planes, err = st
         active = j < n
         jc = jnp.minimum(j, n - 1)                  # clamp for done rows
         p = jc + k - 1
         orig = jnp.take_along_axis(work, p[:, None], 1)[:, 0].astype(_i32)
 
         idxs = jc[:, None] + t_vec                  # [B, k] window ids
-        sl = lambda a: _take_win(a, jc, k)          # barrel-shift gather
-        wf_hi, wf_lo, wr_hi, wr_lo = sl(fhi), sl(flo), sl(rhi), sl(rlo)
-        wvalid = sl(valid)
+        # ONE barrel-shift roll serves all six window takes
+        take6 = _take_win(jnp.concatenate([planes, valid_u], 0),
+                          jnp.tile(jc, 6), k)
+        wf_hi, wf_lo = take6[:B], take6[B:2 * B]
+        wr_hi, wr_lo = take6[2 * B:3 * B], take6[3 * B:4 * B]
+        old_te = take6[4 * B:5 * B] > 0
+        wvalid = take6[5 * B:] > 0
 
         cval = cand.astype(_u32)[None, :, None]     # [1, 4, 1]
         pf_hi, pf_lo = _patch_lanes(wf_hi[:, None], wf_lo[:, None],
@@ -208,15 +226,14 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         commit = mark & fixable
         chosen = jnp.where(commit, best_c, orig)
 
-        # write the chosen candidate's patched lanes back on commit
+        # chosen candidate's patched lanes, written back on commit
         ch = chosen[:, None, None]
         pick = lambda a: jnp.take_along_axis(a, ch, 1)[:, 0]  # [B, k]
-        wrt = lambda a, pa, old: _put_win(
-            a, jc, jnp.where(commit[:, None], pa, old))
-        fhi = wrt(fhi, pick(pf_hi), wf_hi)
-        flo = wrt(flo, pick(pf_lo), wf_lo)
-        rhi = wrt(rhi, pick(pr_hi), wr_hi)
-        rlo = wrt(rlo, pick(pr_lo), wr_lo)
+        cm = commit[:, None]
+        nf_hi = jnp.where(cm, pick(pf_hi), wf_hi)
+        nf_lo = jnp.where(cm, pick(pf_lo), wf_lo)
+        nr_hi = jnp.where(cm, pick(pr_hi), wr_hi)
+        nr_lo = jnp.where(cm, pick(pr_lo), wr_lo)
 
         # effective trust: windows t < W carry fresh query results; patched
         # windows t >= W on a commit become UNKNOWN -> conservatively
@@ -227,13 +244,22 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         q_ext = jnp.concatenate(
             [q_ch, jnp.zeros((B, k - W), bool)], 1) if W < k else q_ch
         in_n = idxs < n
-        teff_pad = jnp.concatenate([teff, jnp.zeros((B, k), bool)], 1)
-        old_te = _take_win(teff_pad, jc, k)
         known = t_vec < W                                     # [1, k]
         upd = jnp.where(known, q_ext,
-                        jnp.where(commit[:, None], False, old_te))
+                        jnp.where(cm, False, old_te))
         te_new = jnp.where(active[:, None] & in_n, upd, old_te)
-        teff = _put_win(teff_pad, jc, te_new)[:, :n]
+
+        # ONE value roll + one shared mask roll put all five planes back
+        vals = jnp.concatenate(
+            [nf_hi, nf_lo, nr_hi, nr_lo, te_new.astype(_u32)], 0)
+        pad = jnp.concatenate(
+            [vals, jnp.zeros((5 * B, nk - k), _u32)], 1)
+        win = jnp.concatenate(
+            [jnp.ones((B, k), bool), jnp.zeros((B, nk - k), bool)], 1)
+        back = (nk - jc) % nk
+        pad_r = _roll_rows_left(pad, jnp.tile(back, 5))
+        mask_r = jnp.tile(_roll_rows_left(win, back), (5, 1))
+        planes = jnp.where(mask_r, pad_r, planes)
 
         # sequence + error mask
         newb = jnp.where(commit, chosen, orig).astype(jnp.int8)
@@ -246,12 +272,14 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         adv = jnp.where(trusted_here, e_orig,
                         jnp.where(fixable, best_ext, 1))
         x = jnp.where(active, jc + adv, n)
-        j_next = _next_break(teff, validn, x, n)
-        return (j_next, work, fhi, flo, rhi, rlo, teff, err)
+        j_next = _next_break(planes[4 * B:, :n] > 0, validn, x, n)
+        return (j_next, work, planes, err)
 
-    j, work, fhi, flo, rhi, rlo, teff, err = jax.lax.while_loop(
-        cond, body, (j0, work, fhi, flo, rhi, rlo, teff, err))
-    return work, (fhi, flo, rhi, rlo, valid), teff, err
+    j, work, planes, err = jax.lax.while_loop(
+        cond, body, (j0, work, st0, err))
+    teff_out = planes[4 * B:, :n] > 0
+    return work, (planes[:B], planes[B:2 * B], planes[2 * B:3 * B],
+                  planes[3 * B:4 * B], valid), teff_out, err
 
 
 def infer_errors_core(query_fn, codes: jax.Array, k: int,

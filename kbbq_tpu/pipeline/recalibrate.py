@@ -308,6 +308,17 @@ def run_pipeline(arrays: ReadArrays, config: RecalConfig,
     parallel paths.
     """
     if devices is None or devices <= 1:
+        # device-resident variant (one jit per pass, bit-identical —
+        # tests/test_resident.py) when nothing needs per-batch hooks:
+        # checkpoints restore at pass boundaries and ordinal offsets
+        # belong to the streaming driver
+        RESIDENT_BUDGET = 6 << 30   # ~device bytes (v5e has 16G HBM)
+        if (checkpoint_dir is None and start_ordinal == 0
+                and arrays.num_reads
+                and arrays.num_reads * arrays.max_len * 6
+                <= RESIDENT_BUDGET):
+            from .resident import recalibrate_arrays_resident
+            return recalibrate_arrays_resident(arrays, config)
         return recalibrate_arrays(arrays, config, start_ordinal,
                                   checkpoint_dir)
     avail = len(jax.devices())

@@ -14,8 +14,8 @@ def report(cfg, r):
 r = bench.run(400_000, 150, 32, 8192)
 report("default", r)
 
+r = bench.run(400_000, 150, 32, 8192, walk_chunk=128)
+report("wc128", r)
+
 r = bench.run(400_000, 150, 32, 8192, walk_chunk=512)
 report("wc512", r)
-
-r = bench.run(400_000, 150, 32, 8192, walk_chunk=1024)
-report("wc1024", r)
