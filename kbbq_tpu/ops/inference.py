@@ -387,7 +387,10 @@ def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
-WALK_CHUNK = 256
+# default walk width: swept on-chip round 2 (64: 38.8k, 128: 44.8k,
+# 256: 42.7k, 512/1024 worse; reads/s/chip at the 400k bench) — 128
+# balances per-round op cost against difficulty-grouping granularity
+WALK_CHUNK = 128
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
