@@ -282,9 +282,42 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
                   planes[3 * B:4 * B], valid), teff_out, err
 
 
+def _walk_rounds_pl(rows, work, lanes, teff, err, j0, k, n, L,
+                    rev_ties, num_hashes, ext_cap, interpret):
+    """_walk_rounds via the Pallas round kernel (ops/pallas_walk.py):
+    same recurrence, one Mosaic program per round instead of ~100 XLA
+    ops.  State converts to the kernel's int32 layout and back; int<->
+    uint casts are value-mod-2^32, i.e. bit-preserving."""
+    from ..constants import DEFAULT_EXT_CAP
+    from .pallas_walk import walk_rounds_pallas
+
+    W = min(ext_cap if ext_cap is not None else DEFAULT_EXT_CAP, k)
+    B = work.shape[0]
+    fhi, flo, rhi, rlo, valid = lanes
+    teff_pad = jnp.concatenate(
+        [teff, jnp.zeros((B, valid.shape[1] - n), bool)], 1)
+    i32 = lambda a: a.astype(_i32)
+    planes = jnp.concatenate(
+        [i32(fhi), i32(flo), i32(rhi), i32(rlo),
+         i32(teff_pad), i32(valid)], axis=0)
+    filt2d = jax.lax.bitcast_convert_type(
+        rows, _i32).reshape(-1, 128)
+    work_i, planes, err_i = walk_rounds_pallas(
+        filt2d, j0[:, None].astype(_i32), i32(work), planes,
+        i32(err), k=k, n=n, W=W, L=L, rev_ties=rev_ties,
+        num_hashes=num_hashes, interpret=interpret)
+    u32 = lambda a: a.astype(_u32)
+    out_lanes = (u32(planes[:B]), u32(planes[B:2 * B]),
+                 u32(planes[2 * B:3 * B]), u32(planes[3 * B:4 * B]),
+                 valid)
+    teff_out = planes[4 * B:5 * B, :n] > 0
+    return work_i.astype(jnp.int8), out_lanes, teff_out, err_i > 0
+
+
 def infer_errors_core(query_fn, codes: jax.Array, k: int,
                       reduce_any=jnp.any, ext_cap=None,
-                      trusted0=None, lanes=None) -> jax.Array:
+                      trusted0=None, lanes=None,
+                      walk_fn=None) -> jax.Array:
     """Error mask per base for a batch (D7), generic over the trusted-
     filter query: query_fn(hi, lo) -> bool hits.  Used directly by the
     hash-space-sharded pipeline (whose query is a collective; it must
@@ -297,6 +330,9 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     lanes: optional precomputed kmer_lanes_batch(codes, k) tuple —
     scheduled callers compute lanes once at batch level and slice, so
     the per-chunk walk bodies skip the packing entirely.
+    walk_fn: optional replacement rounds engine with signature
+    (work, lanes, teff, err, j0, rev_ties) -> (work, lanes, teff, err)
+    — infer_errors_batch passes the Pallas round kernel here.
     """
     B, L = codes.shape
     n = L - k + 1
@@ -322,12 +358,15 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     err = jnp.zeros((B, L), dtype=bool)
     teff = trusted0
 
+    if walk_fn is None:
+        walk_fn = lambda w, la, te, e, j, rt: _walk_rounds(
+            query_fn, w, la, te, e, j, k, n, L, rev_ties=rt,
+            reduce_any=reduce_any, ext_cap=ext_cap)
+
     # rightward walk from anchor end
     x0 = jnp.where(active, b + 1, n)
     j0 = _next_break(teff, valid, x0, n)
-    work, lanes, teff, err = _walk_rounds(
-        query_fn, work, lanes, teff, err, j0, k, n, L,
-        rev_ties=False, reduce_any=reduce_any, ext_cap=ext_cap)
+    work, lanes, teff, err = walk_fn(work, lanes, teff, err, j0, False)
 
     # leftward walk == rightward walk on the reverse complement; RC lane
     # state is the flipped (rc, fwd) pair, RC trust is flipped trust —
@@ -346,9 +385,8 @@ def infer_errors_core(query_fn, codes: jax.Array, k: int,
     rc_err = jnp.zeros((B, L), dtype=bool)
     x0_rc = jnp.where(active, n - a, n)
     j0_rc = _next_break(rc_teff, flip(vv), x0_rc, n)
-    _, _, _, rc_err = _walk_rounds(
-        query_fn, rc_work, rc_lanes, rc_teff, rc_err, j0_rc, k,
-        n, L, rev_ties=True, reduce_any=reduce_any, ext_cap=ext_cap)
+    _, _, _, rc_err = walk_fn(rc_work, rc_lanes, rc_teff, rc_err,
+                              j0_rc, True)
     return err | rc_err[:, ::-1]
 
 
@@ -359,17 +397,22 @@ def infer_errors_batch(rows: jax.Array, codes: jax.Array, k: int,
                        use_pallas: bool = False,
                        trusted0=None, lanes=None) -> jax.Array:
     """infer_errors_core against a local packed filter (uint32 [m/32]
-    from ops.bloom.bloom_rows).  use_pallas routes every probe through
-    the VMEM-resident Pallas kernel (ops/pallas_bloom.py) — the filter
-    must fit VMEM; callers gate on size."""
+    from ops.bloom.bloom_rows).  use_pallas routes the walk ROUNDS
+    through the Pallas round kernel (ops/pallas_walk.py) with the
+    filter pinned in VMEM — callers gate on filter size; the initial
+    all-window query stays on the XLA gather (cheap in-scan)."""
+    qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
+    walk_fn = None
     if use_pallas:
-        from .pallas_bloom import bloom_query_rows_pallas
-        qf = lambda hi, lo: bloom_query_rows_pallas(rows, hi, lo,
-                                                    num_hashes)
-    else:
-        qf = lambda hi, lo: bloom_query_rows(rows, hi, lo, num_hashes)
+        B, L = codes.shape
+        n = L - k + 1
+        interp = jax.default_backend() != "tpu"
+        walk_fn = lambda w, la, te, e, j, rt: _walk_rounds_pl(
+            rows, w, la, te, e, j, k, n, L, rt, num_hashes, ext_cap,
+            interp)
     return infer_errors_core(qf, codes, k, ext_cap=ext_cap,
-                             trusted0=trusted0, lanes=lanes)
+                             trusted0=trusted0, lanes=lanes,
+                             walk_fn=walk_fn)
 
 
 def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
@@ -467,7 +510,16 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
     n = tr.shape[1]
     nbreaks = jnp.sum(valid & ~tr, axis=1)
-    order = jnp.argsort(nbreaks)
+    # INACTIVE reads (all-trusted, anchor-less, or windowless) get sort
+    # key 0 so they cluster at the FRONT; the walk yields exactly-zero
+    # err for them, so the chunk loop below starts at the first chunk
+    # containing any active read — on E.-coli-like data ~85% of chunks
+    # are all-inactive and their walk bodies never execute.  (A lax.cond
+    # skip per chunk was tried instead and REGRESSED pass 3 ~40% on
+    # v5e; a dynamic fori_loop lower bound costs nothing.)
+    active0 = tr.any(1) & (valid & ~tr).any(1)
+    key = jnp.where(active0, nbreaks + 1, 0)
+    order = jnp.argsort(key)
     col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
     onehot = (col == order[:, None]).astype(jnp.bfloat16)
     sc = _permute_rows_mxu(onehot, codes)
@@ -475,14 +527,17 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     # lanes for ALL chunks in one vectorized pack over the sorted batch
     lanes_s = kmer_lanes_batch(sc, k)
     nc = B // chunk
-    cc = sc.reshape(nc, chunk, L)
-    tc = st.reshape(nc, chunk, n)
-    lc = tuple(a.reshape(nc, chunk, n) for a in lanes_s)
-    err_sorted = jax.lax.map(
-        lambda args: infer_errors_batch(rows, args[0], k, num_hashes,
-                                        ext_cap, use_pallas,
-                                        trusted0=args[1],
-                                        lanes=args[2:]),
-        (cc, tc) + lc).reshape(B, L)
+    i0 = (B - jnp.sum(active0.astype(jnp.int32))) // chunk
+
+    def chunk_body(i, err_acc):
+        s = i * chunk
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, chunk, 0)
+        e = infer_errors_batch(rows, sl(sc), k, num_hashes, ext_cap,
+                               use_pallas, trusted0=sl(st),
+                               lanes=tuple(sl(a) for a in lanes_s))
+        return jax.lax.dynamic_update_slice_in_dim(err_acc, e, s, 0)
+
+    err_sorted = jax.lax.fori_loop(
+        i0, nc, chunk_body, jnp.zeros((B, L), bool))
     # inverse permutation: out[order[i]] = err_sorted[i] == onehot^T
     return _permute_rows_mxu(onehot.T, err_sorted)

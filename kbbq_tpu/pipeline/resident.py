@@ -124,15 +124,65 @@ def _pad_to_batches(arrays: ReadArrays, B: int):
                                       jnp.asarray(n_pos),
                                       jnp.asarray(lens_h),
                                       L=L, n_real=N)
-    # quals are only read by pass 3; device_put blocks through the axon
-    # tunnel, so ship them from a background thread — the transfer
-    # overlaps pass-1/2 compute and the caller joins before pass 3
-    import concurrent.futures as _cf
-    _ex = _cf.ThreadPoolExecutor(1)
-    quals_fut = _ex.submit(jax.device_put, p2(arrays.quals, 0))
-    _ex.shutdown(wait=False)
-    return (codes, quals_fut, mask, jnp.asarray(rgs), jnp.asarray(seconds),
-            ids, nb)
+    # quals are only read by the pass-3 ACCUMULATE (after the walks);
+    # the transfer is started lazily by the caller — AFTER the walk
+    # dispatch — so it never contends the relay with the codes h2d or
+    # the pass-1/2 dispatch round-trips, and fully hides under the
+    # multi-second walk compute.  Real quality strings have FEW distinct
+    # values (Illumina RTA3 emits exactly 4), so palette-pack: ship
+    # 2-bit (<=4 distinct) or 4-bit (<=16) palette indices and rebuild
+    # on device — 4x/2x fewer tunnel bytes for the dominant remaining
+    # transfer; raw bytes only for >16 distinct values.
+    quals_h = p2(arrays.quals, 0)
+    uniq = np.unique(quals_h)
+    if uniq.size <= 4:
+        idx = np.searchsorted(uniq, quals_h).astype(np.uint8)
+        packed_q, qmode = _pack_quarters(idx), 2
+    elif uniq.size <= 16:
+        idx = np.searchsorted(uniq, quals_h).astype(np.uint8)
+        pad_c = (-idx.shape[1]) % 2
+        if pad_c:
+            idx = np.concatenate(
+                [idx, np.zeros((idx.shape[0], pad_c), np.uint8)], axis=1)
+        Lh = idx.shape[1] // 2
+        packed_q, qmode = idx[:, :Lh] | (idx[:, Lh:] << 4), 4
+    else:
+        packed_q, qmode = quals_h, 8
+    pal = np.pad(uniq, (0, (1 << qmode) - uniq.size)) \
+        if qmode < 8 else uniq
+
+    def start_quals_put():
+        import concurrent.futures as _cf
+        _ex = _cf.ThreadPoolExecutor(1)
+        fut = _ex.submit(jax.device_put, packed_q)
+        _ex.shutdown(wait=False)
+        join = lambda: _expand_quals(fut.result(), jnp.asarray(pal),
+                                     L=L, qmode=qmode,
+                                     dtype=quals_h.dtype.name)
+        return join
+
+    return (codes, start_quals_put, mask, jnp.asarray(rgs),
+            jnp.asarray(seconds), ids, nb)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "qmode", "dtype"))
+def _expand_quals(packed, palette, *, L, qmode, dtype):
+    """Device-side inverse of the palette pack in _pad_to_batches.
+
+    Palette mapping is a chain of fused [N, L] compares (no table
+    gather: TPU gathers serialize, docs/KNOWN_ISSUES.md #4)."""
+    if qmode == 8:
+        return packed
+    if qmode == 2:
+        planes = [((packed >> s) & 3).astype(jnp.uint8)
+                  for s in (0, 2, 4, 6)]
+        idx = jnp.concatenate(planes, axis=1)[:, :L]
+    else:
+        idx = jnp.concatenate([packed & 15, packed >> 4], axis=1)[:, :L]
+    out = jnp.zeros(idx.shape, palette.dtype)
+    for i in range(1 << qmode):
+        out = jnp.where(idx == i, palette[i], out)
+    return out.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes", "B"),
@@ -261,11 +311,13 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     params_a = BloomParams.for_keys(n_a, config.sampled_bits_per_key, h)
     params_b = BloomParams.for_keys(n_b, config.trusted_bits_per_key, h)
 
-    PALLAS_VMEM_BUDGET = 3 << 20  # packed bytes; probe kernel needs ~3x
+    # the Pallas walk round kernel pins the packed trusted filter in
+    # VMEM (~16 MB/core on v5e) alongside ~1 MB of chunk state
+    PALLAS_VMEM_BUDGET = 10 << 20  # packed filter bytes
     use_pallas = (config.pallas_enabled()
                   and params_b.m // 8 <= PALLAS_VMEM_BUDGET)
 
-    codes, quals_fut, mask, rgs, seconds, ids, nb = \
+    codes, start_quals_put, mask, rgs, seconds, ids, nb = \
         _pad_to_batches(arrays, B)
     jax.block_until_ready(codes)
     _mark("h2d")
@@ -279,12 +331,22 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                         trust_threshold=config.trust_threshold, B=B)
     jax.block_until_ready(rows_b)
     _mark("pass2")
-    # dispatch the walks (codes-only) first, THEN join the quals
-    # transfer: it overlaps walk compute in addition to passes 1-2
+    # dispatch the walks (codes-only) first, THEN start + join the quals
+    # transfer: it rides the relay while the walks compute
     errors = _pass3_walks(rows_b, codes, k=k, num_hashes=h,
                           ext_cap=config.ext_cap, use_pallas=use_pallas,
                           B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
-    quals = quals_fut.result()
+    join_quals = start_quals_put()
+    t_q = _time.time()
+    quals = join_quals()
+    t_w = _time.time()
+    jax.block_until_ready(errors)
+    t_e = _time.time()
+    if timings is not None:
+        # attribution inside pass 3: time blocked on the overlapped
+        # quals transfer vs additional time blocked on walk compute
+        timings["quals_wait"] = round(t_w - t_q, 3)
+        timings["walks_wait"] = round(t_e - t_w, 3)
     cov = _pass3_accum(errors, codes, quals, mask, rgs, seconds, B=B,
                        num_rg=num_rg, max_len=arrays.max_len)
     jax.block_until_ready(cov["cyc_total"])

@@ -1,4 +1,5 @@
-"""One-process bench session (tunnel quirk: batch TPU work, no churn).
+"""One-shot on-chip bench session: run configs back to back in a single
+process so the tunnel is claimed once (docs/KNOWN_ISSUES.md #7).
 
 Keep the HOST idle while this runs: the timed region includes the native
 pass-4 and the tunnel relay, both of which degrade under CPU contention.
@@ -15,11 +16,8 @@ def report(cfg, r):
                       "passes": r["detail"]["pass_times_s"]}), flush=True)
 
 
-r = bench.run(400_000, 150, 32, 8192, walk_chunk=128)
-report("wc128", r)
+r = bench.run(400_000, 150, 32, 8192)
+report("palq_fori_wc128", r)
 
-r = bench.run(400_000, 150, 32, 8192, walk_chunk=64)
-report("wc64", r)
-
-r = bench.run(400_000, 150, 32, 16384, walk_chunk=128)
-report("b16k_wc128", r)
+r = bench.run(400_000, 150, 32, 8192)
+report("palq_fori_wc128_rerun", r)

@@ -103,6 +103,21 @@ def test_resident_passes_compile(v5e):
              codes, quals, mask, rgs, secs)
 
 
+def test_pallas_walk_round_kernel_compile(v5e):
+    """The Pallas walk round kernel must compile for v5e at bench-scale
+    shapes (chunk 128, L=150, k=32, 2^26-bit filter pinned in VMEM).
+    Mosaic crashed outright on an earlier masked-put formulation — this
+    gate catches such regressions without touching the chip."""
+    from kbbq_tpu.ops.inference import infer_errors_batch
+
+    M = 1 << 26
+    _compile(v5e,
+             functools.partial(infer_errors_batch, k=32, num_hashes=7,
+                               use_pallas=True),
+             jax.ShapeDtypeStruct((M // 32,), jnp.uint32),
+             jax.ShapeDtypeStruct((128, 150), jnp.int8))
+
+
 def test_pallas_probe_mosaic_limitation(v5e):
     """Pins the Mosaic contract that killed the VMEM-resident probe
     kernel: tpu.dynamic_gather supports only a SINGLE source vreg along

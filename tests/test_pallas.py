@@ -101,6 +101,33 @@ def test_pipeline_with_pallas_flag_bit_identical():
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("k", [16, 32])
+def test_walk_round_kernel_bit_identical(k):
+    """The Pallas walk round kernel (ops/pallas_walk.py, interpret mode)
+    matches the XLA stacked-plane walk bit for bit, including N bases,
+    commits, and multi-error reads."""
+    import jax.numpy as jnp
+
+    from kbbq_tpu.io.batcher import ReadArrays
+    from kbbq_tpu.ops.inference import infer_errors_batch
+    from kbbq_tpu.oracle.kmers import alpha_threshold
+    from kbbq_tpu.utils.synth import make_dataset
+
+    from test_ops import _build_filters
+
+    alpha = 7.0 / 30.0
+    ds = make_dataset(genome_len=1500, read_len=60, coverage=30.0,
+                      error_rate=0.03, seed=23, n_rate=0.01)
+    _, bloom_b = _build_filters(ds, k, alpha)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    rows = bloom_rows(jnp.asarray(bloom_b.slots))
+    codes = jnp.asarray(arrays.codes[:64])
+    plain = np.asarray(infer_errors_batch(rows, codes, k, 7))
+    pw = np.asarray(infer_errors_batch(rows, codes, k, 7,
+                                       use_pallas=True))
+    assert (plain == pw).all()
+
+
 def test_probe_kernel_odd_sizes():
     """Probe counts not a multiple of the grid tile still match."""
     import jax.numpy as jnp

@@ -63,3 +63,31 @@ def test_resident_mixed_lengths():
     want = recalibrate_arrays(arrays, cfg)
     got = recalibrate_arrays_resident(arrays, cfg)
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("nvals", [3, 11, 40])
+def test_quals_palette_pack_roundtrip(nvals):
+    """The quals h2d palette pack (2-bit <=4 distinct, 4-bit <=16, raw
+    otherwise) must reconstruct the padded quals bit for bit."""
+    import jax.numpy as jnp
+
+    from kbbq_tpu.pipeline.resident import _pad_to_batches
+
+    rng = np.random.default_rng(7)
+    vals = rng.choice(np.arange(2, 80), size=nvals, replace=False)
+    N, L = 37, 51
+    quals = rng.choice(vals, size=(N, L)).astype(np.int8)
+    codes = rng.integers(0, 4, size=(N, L)).astype(np.int8)
+    lens = rng.integers(20, L + 1, size=N)
+    mask = np.arange(L)[None, :] < lens[:, None]
+    quals[~mask] = 0
+    arrays = ReadArrays(codes, quals, mask,
+                        np.zeros(N, np.int32), np.zeros(N, bool))
+    B = 16
+    _, start_quals_put, *_ = _pad_to_batches(arrays, B)
+    got = np.asarray(start_quals_put()())
+    npad = ((N + B - 1) // B) * B
+    want = np.concatenate(
+        [quals, np.zeros((npad - N, L), np.int8)])
+    assert got.dtype == want.dtype
+    assert (got == want).all()
