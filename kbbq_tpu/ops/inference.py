@@ -115,25 +115,6 @@ def _roll_rows_left(a: jax.Array, shift: jax.Array) -> jax.Array:
     return out
 
 
-def _take_win(a: jax.Array, j: jax.Array, width: int) -> jax.Array:
-    """a[b, j[b]:j[b]+width] for every row b (j + width <= S)."""
-    return _roll_rows_left(a, j)[:, :width]
-
-
-def _put_win(a: jax.Array, j: jax.Array, vals: jax.Array) -> jax.Array:
-    """Write vals [B, w] at a[b, j[b]:j[b]+w] (barrel-shifted select)."""
-    B, S = a.shape
-    w = vals.shape[1]
-    pad = jnp.concatenate(
-        [vals, jnp.zeros((B, S - w), vals.dtype)], axis=1)
-    mask = jnp.concatenate(
-        [jnp.ones((B, w), bool), jnp.zeros((B, S - w), bool)], axis=1)
-    back = (S - j) % S
-    pad_r = _roll_rows_left(pad, back)
-    mask_r = _roll_rows_left(mask, back)
-    return jnp.where(mask_r, pad_r, a)
-
-
 def _next_break(teff, valid, x, n):
     """First index i >= x with valid[i] & ~teff[i], else n.  [B] int32."""
     i = jax.lax.broadcasted_iota(_i32, teff.shape, 1)
@@ -149,13 +130,23 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     teff: bool [B, n] effective trust; err: bool [B, L]; j0: [B] cursor
     (n = done).  Returns (work, lanes, teff, err).
 
-    The round body is per-op-overhead-bound at walk width (~250 sub-ms
-    ops dominated by 16 separate barrel-shift roll sets, ~1.3 ms/round
-    measured round 2).  So the five mutable [B, n+k] planes (4 lane
-    words + effective trust) live STACKED as one [5B, n+k] uint32 array:
-    the window take is ONE roll of [6B, n+k] (stack + invariant valid)
-    and the put-back is one value roll + one shared mask roll — same
-    arithmetic, same bits, ~5x fewer roll ops.
+    The round body is per-op-overhead-bound at walk width, so ALL
+    mutable state lives STACKED as one [8B, n+k] uint32 array — 4 lane
+    word planes, effective trust, valid, err, and the working sequence —
+    kept PRE-ROLLED so each row's cursor window sits at column 0:
+
+      - window take = a static [:, :k] slice (free),
+      - put-back = a lane concatenate over the first k columns (free),
+      - the per-base sequence/error updates land on static column k-1
+        (absolute position jc+k-1) — no serialized row scatters,
+      - ONE barrel roll per round, by the cursor advance delta.
+
+    Every row's cumulative roll converges to n-1 when its cursor
+    finishes (delta = min(j_next, n-1) - jc telescopes from the initial
+    min(j0, n-1) roll), so the final un-roll is a single STATIC
+    jnp.roll by n-1.  Device trace (round 2): the previous 3-roll-set
+    form spent ~40 us/round outside the probe gather; this halves the
+    non-gather round body.
     """
     from ..constants import DEFAULT_EXT_CAP
     W = min(ext_cap if ext_cap is not None else DEFAULT_EXT_CAP, k)
@@ -163,18 +154,23 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     B = work.shape[0]
     fhi, flo, rhi, rlo, valid = lanes
     nk = valid.shape[1]                             # n + k
-    validn = valid[:, :n]
-    valid_u = valid.astype(_u32)
     t_vec = jax.lax.broadcasted_iota(_i32, (1, k), 1)
     tw_vec = t_vec[:, :W]
     bit_f = (2 * t_vec)[None]                       # [1, 1, k]
     bit_r = (2 * (k - 1 - t_vec))[None]
     cand = jnp.arange(4, dtype=_i32)
 
-    # stacked mutable planes: [5B, n+k] = fhi | flo | rhi | rlo | teff
-    teff_pad = jnp.concatenate(
-        [teff.astype(_u32), jnp.zeros((B, k), _u32)], 1)
-    st0 = jnp.concatenate([fhi, flo, rhi, rlo, teff_pad], 0)
+    def pad_nk(a):
+        return jnp.concatenate(
+            [a.astype(_u32), jnp.zeros((B, nk - a.shape[1]), _u32)], 1)
+
+    # stacked mutable planes [8B, n+k]:
+    #   fhi | flo | rhi | rlo | teff | valid | err | work  (L = nk - 1)
+    st0 = jnp.concatenate(
+        [fhi, flo, rhi, rlo, pad_nk(teff), valid.astype(_u32),
+         pad_nk(err), pad_nk(work[:, :L])], 0)
+    jc0 = jnp.minimum(j0, n - 1)
+    st0 = _roll_rows_left(st0, jnp.tile(jc0, 8))
 
     def cond(st):
         # reduce_any must be GLOBAL when query_fn contains collectives
@@ -183,20 +179,15 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         return reduce_any(st[0] < n)
 
     def body(st):
-        j, work, planes, err = st
+        j, planes = st
         active = j < n
         jc = jnp.minimum(j, n - 1)                  # clamp for done rows
-        p = jc + k - 1
-        orig = jnp.take_along_axis(work, p[:, None], 1)[:, 0].astype(_i32)
-
-        idxs = jc[:, None] + t_vec                  # [B, k] window ids
-        # ONE barrel-shift roll serves all six window takes
-        take6 = _take_win(jnp.concatenate([planes, valid_u], 0),
-                          jnp.tile(jc, 6), k)
-        wf_hi, wf_lo = take6[:B], take6[B:2 * B]
-        wr_hi, wr_lo = take6[2 * B:3 * B], take6[3 * B:4 * B]
-        old_te = take6[4 * B:5 * B] > 0
-        wvalid = take6[5 * B:] > 0
+        win6 = planes[:6 * B, :k]                   # static slice: free
+        wf_hi, wf_lo = win6[:B], win6[B:2 * B]
+        wr_hi, wr_lo = win6[2 * B:3 * B], win6[3 * B:4 * B]
+        old_te = win6[4 * B:5 * B] > 0
+        wvalid = win6[5 * B:] > 0
+        orig = planes[7 * B:, k - 1].astype(_i32)   # work col k-1 [B]
 
         cval = cand.astype(_u32)[None, :, None]     # [1, 4, 1]
         pf_hi, pf_lo = _patch_lanes(wf_hi[:, None], wf_lo[:, None],
@@ -226,10 +217,15 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         commit = mark & fixable
         chosen = jnp.where(commit, best_c, orig)
 
-        # chosen candidate's patched lanes, written back on commit
-        ch = chosen[:, None, None]
-        pick = lambda a: jnp.take_along_axis(a, ch, 1)[:, 0]  # [B, k]
+        # chosen candidate's patched lanes: 4-way select, not gather
         cm = commit[:, None]
+
+        def pick(stacked):                          # [B, 4, k] -> [B, k]
+            out = stacked[:, 0]
+            for c in range(1, 4):
+                out = jnp.where(chosen[:, None] == c, stacked[:, c], out)
+            return out
+
         nf_hi = jnp.where(cm, pick(pf_hi), wf_hi)
         nf_lo = jnp.where(cm, pick(pf_lo), wf_lo)
         nr_hi = jnp.where(cm, pick(pr_hi), wr_hi)
@@ -240,46 +236,57 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         # untrusted (the cursor will stop there and re-query; a false
         # break is resolved by the trusted_here path, matching the
         # oracle's per-window trust check)
-        q_ch = jnp.take_along_axis(q, ch, 1)[:, 0]            # [B, W]
+        q_ch = pick(q)                                        # [B, W]
         q_ext = jnp.concatenate(
             [q_ch, jnp.zeros((B, k - W), bool)], 1) if W < k else q_ch
-        in_n = idxs < n
+        in_n = t_vec < (n - jc)[:, None]            # window idx < n
         known = t_vec < W                                     # [1, k]
         upd = jnp.where(known, q_ext,
                         jnp.where(cm, False, old_te))
         te_new = jnp.where(active[:, None] & in_n, upd, old_te)
 
-        # ONE value roll + one shared mask roll put all five planes back
-        vals = jnp.concatenate(
+        # put-back: splice the k window columns (pure lane concatenate)
+        vals5 = jnp.concatenate(
             [nf_hi, nf_lo, nr_hi, nr_lo, te_new.astype(_u32)], 0)
-        pad = jnp.concatenate(
-            [vals, jnp.zeros((5 * B, nk - k), _u32)], 1)
-        win = jnp.concatenate(
-            [jnp.ones((B, k), bool), jnp.zeros((B, nk - k), bool)], 1)
-        back = (nk - jc) % nk
-        pad_r = _roll_rows_left(pad, jnp.tile(back, 5))
-        mask_r = jnp.tile(_roll_rows_left(win, back), (5, 1))
-        planes = jnp.where(mask_r, pad_r, planes)
+        upd5 = jnp.concatenate([vals5, planes[:5 * B, k:]], 1)
 
-        # sequence + error mask
-        newb = jnp.where(commit, chosen, orig).astype(jnp.int8)
-        work = work.at[jnp.arange(B), p].set(
-            jnp.where(active, newb,
-                      jnp.take_along_axis(work, p[:, None], 1)[:, 0]))
-        perr = jnp.take_along_axis(err, p[:, None], 1)[:, 0]
-        err = err.at[jnp.arange(B), p].set(perr | mark)
+        # sequence + error mask: absolute p = jc+k-1 == rolled col k-1
+        newb = jnp.where(commit, chosen, orig)
+        err_pl = planes[6 * B:7 * B]
+        err_pl = err_pl.at[:, k - 1].set(
+            err_pl[:, k - 1] | mark.astype(_u32))
+        wrk_pl = planes[7 * B:]
+        wrk_pl = wrk_pl.at[:, k - 1].set(
+            jnp.where(active, newb.astype(_u32), wrk_pl[:, k - 1]))
 
+        # next break in ROLLED coordinates: first col c >= adv with
+        # valid & ~teff and c < n - jc (absolute < n), else done
         adv = jnp.where(trusted_here, e_orig,
                         jnp.where(fixable, best_ext, 1))
-        x = jnp.where(active, jc + adv, n)
-        j_next = _next_break(planes[4 * B:, :n] > 0, validn, x, n)
-        return (j_next, work, planes, err)
+        teffp = upd5[4 * B:, :]
+        validp = planes[5 * B:6 * B]
+        c_iota = jax.lax.broadcasted_iota(_i32, (B, nk), 1)
+        brk = (validp > 0) & (teffp == 0) & \
+            (c_iota >= adv[:, None]) & (c_iota < (n - jc)[:, None])
+        rel = jnp.min(jnp.where(brk, c_iota, nk), axis=1)
+        j_next = jnp.where(active, jnp.minimum(jc + rel, n), n)
 
-    j, work, planes, err = jax.lax.while_loop(
-        cond, body, (j0, work, st0, err))
-    teff_out = planes[4 * B:, :n] > 0
-    return work, (planes[:B], planes[B:2 * B], planes[2 * B:3 * B],
-                  planes[3 * B:4 * B], valid), teff_out, err
+        delta = jnp.minimum(j_next, n - 1) - jc
+        planes = jnp.concatenate(
+            [upd5, planes[5 * B:6 * B], err_pl, wrk_pl], 0)
+        planes = _roll_rows_left(planes, jnp.tile(delta, 8))
+        return (j_next, planes)
+
+    _, planes = jax.lax.while_loop(cond, body, (j0, st0))
+    # every row's cumulative roll is exactly n-1 at exit: static un-roll
+    pl = jnp.roll(planes, n - 1, axis=1)
+    teff_out = pl[4 * B:5 * B, :n] > 0
+    err_out = pl[6 * B:7 * B, :L] > 0
+    work_out = jnp.concatenate(
+        [pl[7 * B:, :L].astype(jnp.int8),
+         jnp.full((B, 2 * k), 4, dtype=jnp.int8)], 1)
+    return work_out, (pl[:B], pl[B:2 * B], pl[2 * B:3 * B],
+                      pl[3 * B:4 * B], valid), teff_out, err_out
 
 
 def _walk_rounds_pl(rows, work, lanes, teff, err, j0, k, n, L,

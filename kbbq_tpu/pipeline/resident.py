@@ -63,8 +63,10 @@ def _pack_quarters(codes: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("L", "n_real"))
-def _expand_inputs(packed, n_pos, lens, *, L, n_real):
-    """Device-side reconstruction of codes/mask/ids from the packed feed.
+def _expand_inputs(packed, n_pos, lens, off, *, L, n_real):
+    """Device-side reconstruction of codes/mask/ids from the packed feed
+    (one row SLICE of the dataset; `off` = first global row of the
+    slice, n_pos are slice-relative flat positions).
 
     codes: unpack the four 2-bit quarter planes and lane-concatenate
     (bit-exact inverse of _pack_quarters), re-mark everything past each
@@ -83,19 +85,22 @@ def _expand_inputs(packed, n_pos, lens, *, L, n_real):
     if n_pos.shape[0]:
         codes = codes.reshape(-1).at[n_pos].set(
             jnp.int8(4), mode="drop").reshape(npad, L)
-    r = jnp.arange(npad, dtype=jnp.uint32)
+    r = off.astype(jnp.uint32) + jnp.arange(npad, dtype=jnp.uint32)
     ids = jnp.where(r < np.uint32(n_real), r, jnp.uint32(0xFFFFFFFF))
     return codes, mask, ids
 
 
-def _pad_to_batches(arrays: ReadArrays, B: int):
+def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
     """Stage arrays on device, padded to a whole number of batches.
 
     Minimizes tunnel bytes: codes go nibble-packed (2x), the [N, L] mask
-    goes as uint16 lengths (16x), ids are derived on device.  quals are
-    shipped as-is but asynchronously — the caller dispatches pass 1
-    (which needs only codes) before blocking on them, so the transfer
-    overlaps pass-1/2 compute.
+    goes as uint16 lengths (16x), ids are derived on device.  The codes
+    feed is split into up to `num_slices` contiguous batch groups whose
+    transfers run on a background thread: the caller overlaps pass-1
+    compute on slice i with the h2d of slice i+1 (the tunnel is the
+    least predictable resource in this environment — overlap makes the
+    pipeline robust to slow sessions).  quals ship asynchronously too —
+    the caller joins them only after the pass-3 walk dispatch.
     """
     N = arrays.num_reads
     nb = max(1, (N + B - 1) // B)
@@ -120,10 +125,34 @@ def _pad_to_batches(arrays: ReadArrays, B: int):
     packed = _pack_quarters(codes_h)
     n_pos = np.flatnonzero(
         (codes_h == 4) & in_mask).astype(np.int32)
-    codes, mask, ids = _expand_inputs(jnp.asarray(packed),
-                                      jnp.asarray(n_pos),
-                                      jnp.asarray(lens_h),
-                                      L=L, n_real=N)
+
+    # contiguous whole-batch slices; one background thread puts them in
+    # order so transfer overlaps the caller's per-slice pass-1 dispatch
+    sb = max(1, -(-nb // num_slices))          # batches per slice
+    starts = list(range(0, nb, sb))
+    import concurrent.futures as _cf
+    _put_ex = _cf.ThreadPoolExecutor(1)
+
+    def _put_slice(b0):
+        r0, r1 = b0 * B, min(nb, b0 + sb) * B
+        sel = (n_pos >= r0 * L) & (n_pos < r1 * L)
+        return (jnp.asarray(packed[r0:r1]),
+                jnp.asarray(n_pos[sel] - r0 * L),
+                jnp.asarray(lens_h[r0:r1]))
+
+    slice_futs = [(_put_ex.submit(_put_slice, b0), b0) for b0 in starts]
+    _put_ex.shutdown(wait=False)
+
+    def staged_slices():
+        """Yield (codes_i, mask_i, ids_i, wait_s) per slice, in order."""
+        import time as _t
+        for fut, b0 in slice_futs:
+            t0 = _t.time()
+            pk, npos, ln = fut.result()
+            wait = _t.time() - t0
+            yield _expand_inputs(pk, npos, ln,
+                                 jnp.uint32(b0 * B), L=L,
+                                 n_real=N) + (wait,)
     # quals are only read by the pass-3 ACCUMULATE (after the walks);
     # the transfer is started lazily by the caller — AFTER the walk
     # dispatch — so it never contends the relay with the codes h2d or
@@ -161,8 +190,8 @@ def _pad_to_batches(arrays: ReadArrays, B: int):
                                      dtype=quals_h.dtype.name)
         return join
 
-    return (codes, start_quals_put, mask, jnp.asarray(rgs),
-            jnp.asarray(seconds), ids, nb)
+    return (staged_slices, start_quals_put, jnp.asarray(rgs),
+            jnp.asarray(seconds), nb)
 
 
 @functools.partial(jax.jit, static_argnames=("L", "qmode", "dtype"))
@@ -187,7 +216,10 @@ def _expand_quals(packed, palette, *, L, qmode, dtype):
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes", "B"),
                    donate_argnames=("slots",))
-def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
+def _pass1_slice(slots, codes, ids, threshold, *, k, num_hashes, B):
+    """Sampled-k-mer inserts for one staged slice (chained: the caller
+    threads the donated staging `slots` through the slices as their
+    transfers land, overlapping h2d with insert compute)."""
     nb = codes.shape[0] // B
 
     def body(carry, i):
@@ -199,7 +231,14 @@ def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
         return bloom_insert_rows(slots, hi, lo, keep, num_hashes), None
 
     slots, _ = jax.lax.scan(body, slots, jnp.arange(nb))
-    return bloom_rows(slots)
+    return slots
+
+
+def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
+    """Single-dispatch pass 1 (kept for the AOT compile gate and
+    non-sliced callers): slice inserts + row packing."""
+    return bloom_rows(_pass1_slice(slots, codes, ids, threshold, k=k,
+                                   num_hashes=num_hashes, B=B))
 
 
 @functools.partial(jax.jit,
@@ -317,13 +356,35 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     use_pallas = (config.pallas_enabled()
                   and params_b.m // 8 <= PALLAS_VMEM_BUDGET)
 
-    codes, start_quals_put, mask, rgs, seconds, ids, nb = \
+    staged_slices, start_quals_put, rgs, seconds, nb = \
         _pad_to_batches(arrays, B)
-    jax.block_until_ready(codes)
+
+    # h2d/pass-1 overlap: as each codes slice lands, chain its sampled
+    # inserts into the donated staging slots — transfer of slice i+1
+    # rides the relay while slice i's inserts compute
+    slots = jnp.zeros(params_a.m, jnp.uint8)
+    codes_parts, mask_parts = [], []
+    h2d_wait, slice_times = 0.0, []
+    for codes_i, mask_i, ids_i, wait in staged_slices():
+        h2d_wait += wait
+        codes_parts.append(codes_i)
+        mask_parts.append(mask_i)
+        t_d = _time.time()
+        slots = _pass1_slice(slots, codes_i, ids_i, threshold,
+                             k=k, num_hashes=h, B=B)
+        slice_times.append((round(wait, 2),
+                            round(_time.time() - t_d, 2)))
+    codes = (codes_parts[0] if len(codes_parts) == 1
+             else jnp.concatenate(codes_parts, axis=0))
+    mask = (mask_parts[0] if len(mask_parts) == 1
+            else jnp.concatenate(mask_parts, axis=0))
+    if timings is not None:
+        # (transfer-future wait, pass1 dispatch time) per staged slice —
+        # attributes staging-loop stalls between the relay and dispatch
+        timings["h2d_slices"] = slice_times
     _mark("h2d")
 
-    rows_a = _pass1_all(jnp.zeros(params_a.m, jnp.uint8), codes, ids,
-                        threshold, k=k, num_hashes=h, B=B)
+    rows_a = bloom_rows(slots)
     jax.block_until_ready(rows_a)  # pass-boundary sync (KNOWN_ISSUES #6)
     _mark("pass1")
     rows_b = _pass2_all(rows_a, jnp.zeros(params_b.m, jnp.uint8), codes,

@@ -17,7 +17,7 @@ def report(cfg, r):
 
 
 r = bench.run(400_000, 150, 32, 8192)
-report("palq_fori_wc128", r)
+report("prerolled", r)
 
 r = bench.run(400_000, 150, 32, 8192)
-report("palq_fori_wc128_rerun", r)
+report("prerolled_rerun", r)

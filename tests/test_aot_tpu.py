@@ -68,7 +68,7 @@ def test_walk_compile(v5e):
 
 def test_resident_passes_compile(v5e):
     from kbbq_tpu.pipeline.resident import (
-        _pass1_all, _pass2_all, _pass3_accum, _pass3_walks, _pass4_all)
+        _pass1_slice, _pass2_all, _pass3_accum, _pass3_walks, _pass4_all)
 
     B, N, L, M = 512, 1024, 150, 1 << 22
     codes = jax.ShapeDtypeStruct((N, L), jnp.int8)
@@ -81,7 +81,7 @@ def test_resident_passes_compile(v5e):
     rows = jax.ShapeDtypeStruct((M // 32,), jnp.uint32)
     errs = jax.ShapeDtypeStruct((N, L), jnp.bool_)
 
-    _compile(v5e, functools.partial(_pass1_all.__wrapped__, k=32,
+    _compile(v5e, functools.partial(_pass1_slice.__wrapped__, k=32,
                                     num_hashes=7, B=B),
              slots, codes, ids, jax.ShapeDtypeStruct((), jnp.uint32))
     _compile(v5e, functools.partial(_pass2_all.__wrapped__, k=32,
