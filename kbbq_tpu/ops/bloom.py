@@ -107,6 +107,59 @@ def bloom_insert_rows(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     return out.reshape(m)
 
 
+def probe_words(hi: jax.Array, lo: jax.Array, num_hashes: int,
+                log2_m: int):
+    """(block, word) per k-mer: the packed-row word index and the 32-bit
+    OR of its probe bits — same bit layout as bloom_rows(bloom_insert's
+    staging), i.e. packed[block] |= word reproduces the filter."""
+    h1, h2 = kmer_hashes(hi, lo)
+    block = h1 & _u32((1 << (log2_m - 5)) - 1)
+    w = jnp.zeros_like(h2)
+    for j in range(num_hashes):
+        s = _u32((j * 5) & 31)
+        rot = (h2 >> s) | (h2 << ((_u32(32) - s) & _u32(31)))
+        w = w | (_u32(1) << (rot & _u32(31)))
+    return block, w
+
+
+def bloom_rows_dense(block: jax.Array, w: jax.Array, mask: jax.Array,
+                     log2_m: int) -> jax.Array:
+    """Packed filter (uint32 [m/32]) from per-k-mer (block, word) pairs
+    via sort + segmented OR + dense extract — NO scatter.
+
+    TPU scatters run serialized (~16 ns/index: 0.75 s/pass at the 400k
+    bench); this build is sort 240 ms + scan 70 ms + searchsorted
+    320 ms at 48M keys (microbenched on v5e), and every stage is
+    vectorized.  Exactness: sort groups equal blocks; the running OR
+    within a segment is numerically MONOTONE (a|b >= a unsigned), so
+    the segment-last running-OR value IS the full OR of the segment,
+    and the dense extract (binary search of each word index, 'right'
+    boundary - 1 = segment last) reads exactly it.  Masked k-mers get
+    sentinel block m/32 (sorts last, never extracted).
+    """
+    M = 1 << (log2_m - 5)
+    bs, ws = jax.lax.sort(
+        (jnp.where(mask, block, _u32(M)),
+         jnp.where(mask, w, _u32(0))), num_keys=1)
+    n = bs.shape[0]
+    # segmented inclusive OR-scan, manual Hillis-Steele (log2 n static
+    # shifts; lax.associative_scan's recursive build did not finish
+    # compiling at 48M elements)
+    v = ws
+    f = jnp.concatenate([jnp.ones((1,), bool), bs[1:] != bs[:-1]])
+    d = 1
+    while d < n:
+        pv = jnp.concatenate([jnp.zeros((d,), _u32), v[:-d]])
+        pf = jnp.concatenate([jnp.ones((d,), bool), f[:-d]])
+        v = jnp.where(f, v, v | pv)
+        f = f | pf
+        d <<= 1
+    q = jnp.arange(M, dtype=_u32)
+    p = jnp.searchsorted(bs, q, side="right").astype(jnp.int32) - 1
+    pc = jnp.clip(p, 0, n - 1)
+    return jnp.where(bs[pc] == q, v[pc], _u32(0))
+
+
 @jax.jit
 def bloom_rows(slots: jax.Array) -> jax.Array:
     """Pack the byte filter into bit-blocks: uint32 [m/32], word b's bit j

@@ -28,7 +28,7 @@ from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
-    bloom_rows
+    bloom_rows, bloom_rows_dense, probe_words
 from ..ops.covariate import accumulate_covariates, new_covariate_state
 from ..ops.inference import WALK_CHUNK, infer_errors_batch, \
     infer_errors_scheduled
@@ -36,6 +36,11 @@ from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table, apply_recal_table_host
 from ..ops.trusted import trusted_mask_batch
 from .recalibrate import RecalConfig
+
+# dense sort-build (vs scatter insert) budget: bytes of (block, word,
+# mask) k-mer triples the resident path may stage at once (~9 B/k-mer;
+# E. coli-full is ~1.6 GB).  Larger datasets use the scatter scan path.
+DENSE_BUILD_BUDGET = 3 << 30
 
 
 def _pack_quarters(codes: np.ndarray) -> np.ndarray:
@@ -118,16 +123,10 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
     rgs = p2(arrays.rgs, 0)
     seconds = p2(arrays.seconds, False)
 
-    # sparse N positions: only in-mask N bases need shipping (mask
-    # re-marks tails and padding rows on device)
-    in_mask = (np.arange(L, dtype=np.int32)[None, :]
-               < lens_h[:, None].astype(np.int32))
-    packed = _pack_quarters(codes_h)
-    n_pos = np.flatnonzero(
-        (codes_h == 4) & in_mask).astype(np.int32)
-
-    # contiguous whole-batch slices; one background thread puts them in
-    # order so transfer overlaps the caller's per-slice pass-1 dispatch
+    # contiguous whole-batch slices; one background thread packs + puts
+    # them in order so BOTH the 2-bit host pack and the transfer overlap
+    # the caller's per-slice pass-1 dispatch (the pack alone costs
+    # ~seconds of host time at scale — keep it off the critical path)
     sb = max(1, -(-nb // num_slices))          # batches per slice
     starts = list(range(0, nb, sb))
     import concurrent.futures as _cf
@@ -135,10 +134,16 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
 
     def _put_slice(b0):
         r0, r1 = b0 * B, min(nb, b0 + sb) * B
-        sel = (n_pos >= r0 * L) & (n_pos < r1 * L)
-        return (jnp.asarray(packed[r0:r1]),
-                jnp.asarray(n_pos[sel] - r0 * L),
-                jnp.asarray(lens_h[r0:r1]))
+        ch = codes_h[r0:r1]
+        ln = lens_h[r0:r1]
+        # sparse N positions: only in-mask N bases need shipping (mask
+        # re-marks tails and padding rows on device)
+        in_mask = (np.arange(L, dtype=np.int32)[None, :]
+                   < ln[:, None].astype(np.int32))
+        n_pos = np.flatnonzero((ch == 4) & in_mask).astype(np.int32)
+        return (jnp.asarray(_pack_quarters(ch)),
+                jnp.asarray(n_pos),
+                jnp.asarray(ln))
 
     slice_futs = [(_put_ex.submit(_put_slice, b0), b0) for b0 in starts]
     _put_ex.shutdown(wait=False)
@@ -163,31 +168,47 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
     # on device — 4x/2x fewer tunnel bytes for the dominant remaining
     # transfer; raw bytes only for >16 distinct values.
     quals_h = p2(arrays.quals, 0)
-    uniq = np.unique(quals_h)
-    if uniq.size <= 4:
-        idx = np.searchsorted(uniq, quals_h).astype(np.uint8)
-        packed_q, qmode = _pack_quarters(idx), 2
-    elif uniq.size <= 16:
-        idx = np.searchsorted(uniq, quals_h).astype(np.uint8)
-        pad_c = (-idx.shape[1]) % 2
-        if pad_c:
-            idx = np.concatenate(
-                [idx, np.zeros((idx.shape[0], pad_c), np.uint8)], axis=1)
-        Lh = idx.shape[1] // 2
-        packed_q, qmode = idx[:, :Lh] | (idx[:, Lh:] << 4), 4
-    else:
-        packed_q, qmode = quals_h, 8
-    pal = np.pad(uniq, (0, (1 << qmode) - uniq.size)) \
-        if qmode < 8 else uniq
+
+    def _pack_and_put_quals():
+        # O(n) bincount/LUT palette detection (np.unique sorts — it cost
+        # seconds of critical-path host time on 60 MB at bench scale)
+        counts = np.bincount(quals_h.ravel().astype(np.uint8),
+                             minlength=256)
+        uniq = np.flatnonzero(counts).astype(quals_h.dtype)
+        if uniq.size <= 16:
+            lut = np.zeros(256, np.uint8)
+            lut[uniq.astype(np.uint8)] = np.arange(uniq.size,
+                                                   dtype=np.uint8)
+            idx = lut[quals_h.astype(np.uint8)]
+        if uniq.size <= 4:
+            packed_q, qmode = _pack_quarters(idx), 2
+        elif uniq.size <= 16:
+            pad_c = (-idx.shape[1]) % 2
+            if pad_c:
+                idx = np.concatenate(
+                    [idx, np.zeros((idx.shape[0], pad_c), np.uint8)],
+                    axis=1)
+            Lh = idx.shape[1] // 2
+            packed_q, qmode = idx[:, :Lh] | (idx[:, Lh:] << 4), 4
+        else:
+            packed_q, qmode = quals_h, 8
+        pal = np.pad(uniq, (0, (1 << qmode) - uniq.size)) \
+            if qmode < 8 else uniq
+        return jax.device_put(packed_q), pal, qmode
 
     def start_quals_put():
+        # the WHOLE pack+put runs on the background thread: the host is
+        # idle while the pass-3 walks compute, so the palette pack costs
+        # zero critical-path time
         import concurrent.futures as _cf
         _ex = _cf.ThreadPoolExecutor(1)
-        fut = _ex.submit(jax.device_put, packed_q)
+        fut = _ex.submit(_pack_and_put_quals)
         _ex.shutdown(wait=False)
-        join = lambda: _expand_quals(fut.result(), jnp.asarray(pal),
-                                     L=L, qmode=qmode,
-                                     dtype=quals_h.dtype.name)
+
+        def join():
+            dev, pal, qmode = fut.result()
+            return _expand_quals(dev, jnp.asarray(pal), L=L,
+                                 qmode=qmode, dtype=quals_h.dtype.name)
         return join
 
     return (staged_slices, start_quals_put, jnp.asarray(rgs),
@@ -239,6 +260,57 @@ def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
     non-sliced callers): slice inserts + row packing."""
     return bloom_rows(_pass1_slice(slots, codes, ids, threshold, k=k,
                                    num_hashes=num_hashes, B=B))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes",
+                                             "log2_m", "B"))
+def _pass1_kmers_slice(codes, ids, threshold, *, k, num_hashes,
+                       log2_m, B):
+    """Per-slice k-mer (block, word, keep) triples for the DENSE pass-1
+    build: the compute overlaps the next slice's h2d like the scatter
+    path, but inserts are deferred to one global sort (ops/bloom.py::
+    bloom_rows_dense) instead of a serialized scatter per batch."""
+    nb = codes.shape[0] // B
+
+    def body(_, i):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        rid = jax.lax.dynamic_slice_in_dim(ids, i * B, B, 0)
+        hi, lo, valid = canonical_kmers_batch(c, k)
+        keep = valid & sample_keep_mask(rid, hi.shape[1], threshold)
+        blk, w = probe_words(hi, lo, num_hashes, log2_m)
+        return None, (blk.reshape(-1), w.reshape(-1), keep.reshape(-1))
+
+    _, (blks, ws, keeps) = jax.lax.scan(body, None, jnp.arange(nb))
+    return blks.reshape(-1), ws.reshape(-1), keeps.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("log2_m",))
+def _dense_finish(blks, ws, keeps, *, log2_m):
+    return bloom_rows_dense(jnp.concatenate(blks), jnp.concatenate(ws),
+                            jnp.concatenate(keeps), log2_m)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "num_hashes", "trust_threshold",
+                                    "log2_m", "B"))
+def _pass2_dense(rows_a, codes, t_table, *, k, num_hashes,
+                 trust_threshold, log2_m, B):
+    """Dense-build pass 2: the trusted test stays a per-batch scan (it
+    queries filter A), but trusted k-mers accumulate as (block, word)
+    pairs and ONE sort builds filter B — no insert scatter."""
+    nb = codes.shape[0] // B
+
+    def body(_, i):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        hi, lo, valid = canonical_kmers_batch(c, k)
+        hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
+        tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
+        blk, w = probe_words(hi, lo, num_hashes, log2_m)
+        return None, (blk.reshape(-1), w.reshape(-1), tr.reshape(-1))
+
+    _, (blks, ws, trs) = jax.lax.scan(body, None, jnp.arange(nb))
+    return bloom_rows_dense(blks.reshape(-1), ws.reshape(-1),
+                            trs.reshape(-1), log2_m)
 
 
 @functools.partial(jax.jit,
@@ -359,19 +431,33 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     staged_slices, start_quals_put, rgs, seconds, nb = \
         _pad_to_batches(arrays, B)
 
+    # DENSE sort-builds replace the serialized insert scatters when the
+    # whole dataset's k-mer triples fit a device budget (~9 B/k-mer);
+    # the streaming scatter path remains for anything larger
+    n_kmer_slots = nb * ((arrays.max_len - k + 1) if arrays.max_len >= k
+                         else 0) * B
+    dense = 0 < n_kmer_slots * 9 <= DENSE_BUILD_BUDGET
+
     # h2d/pass-1 overlap: as each codes slice lands, chain its sampled
-    # inserts into the donated staging slots — transfer of slice i+1
-    # rides the relay while slice i's inserts compute
-    slots = jnp.zeros(params_a.m, jnp.uint8)
-    codes_parts, mask_parts = [], []
+    # k-mer compute (dense) or inserts (scatter path) — transfer of
+    # slice i+1 rides the relay while slice i computes
+    slots = None if dense else jnp.zeros(params_a.m, jnp.uint8)
+    la = int(params_a.m).bit_length() - 1
+    lb = int(params_b.m).bit_length() - 1
+    codes_parts, mask_parts, kmer_parts = [], [], []
     h2d_wait, slice_times = 0.0, []
     for codes_i, mask_i, ids_i, wait in staged_slices():
         h2d_wait += wait
         codes_parts.append(codes_i)
         mask_parts.append(mask_i)
         t_d = _time.time()
-        slots = _pass1_slice(slots, codes_i, ids_i, threshold,
-                             k=k, num_hashes=h, B=B)
+        if dense:
+            kmer_parts.append(_pass1_kmers_slice(
+                codes_i, ids_i, threshold, k=k, num_hashes=h,
+                log2_m=la, B=B))
+        else:
+            slots = _pass1_slice(slots, codes_i, ids_i, threshold,
+                                 k=k, num_hashes=h, B=B)
         slice_times.append((round(wait, 2),
                             round(_time.time() - t_d, 2)))
     codes = (codes_parts[0] if len(codes_parts) == 1
@@ -384,12 +470,23 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
         timings["h2d_slices"] = slice_times
     _mark("h2d")
 
-    rows_a = bloom_rows(slots)
+    if dense:
+        rows_a = _dense_finish(tuple(p[0] for p in kmer_parts),
+                               tuple(p[1] for p in kmer_parts),
+                               tuple(p[2] for p in kmer_parts),
+                               log2_m=la)
+    else:
+        rows_a = bloom_rows(slots)
     jax.block_until_ready(rows_a)  # pass-boundary sync (KNOWN_ISSUES #6)
     _mark("pass1")
-    rows_b = _pass2_all(rows_a, jnp.zeros(params_b.m, jnp.uint8), codes,
-                        t_table, k=k, num_hashes=h,
-                        trust_threshold=config.trust_threshold, B=B)
+    if dense:
+        rows_b = _pass2_dense(rows_a, codes, t_table, k=k, num_hashes=h,
+                              trust_threshold=config.trust_threshold,
+                              log2_m=lb, B=B)
+    else:
+        rows_b = _pass2_all(rows_a, jnp.zeros(params_b.m, jnp.uint8),
+                            codes, t_table, k=k, num_hashes=h,
+                            trust_threshold=config.trust_threshold, B=B)
     jax.block_until_ready(rows_b)
     _mark("pass2")
     # dispatch the walks (codes-only) first, THEN start + join the quals

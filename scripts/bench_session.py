@@ -12,12 +12,14 @@ import bench  # noqa: E402
 
 
 def report(cfg, r):
-    print(json.dumps({"cfg": cfg, "rps": r["value"], "parity": r["parity"],
+    print(json.dumps({"cfg": cfg, "rps": r["value"],
+                      "compute_rps": r.get("compute_rps"),
+                      "parity": r["parity"],
                       "passes": r["detail"]["pass_times_s"]}), flush=True)
 
 
-r = bench.run(400_000, 150, 32, 8192)
-report("prerolled", r)
+r = bench.run(400_000, 150, 32, 8192, walk_chunk=64)
+report("preroll_wc64", r)
 
 r = bench.run(400_000, 150, 32, 8192)
-report("prerolled_rerun", r)
+report("preroll_wc128", r)

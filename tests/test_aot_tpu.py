@@ -103,6 +103,35 @@ def test_resident_passes_compile(v5e):
              codes, quals, mask, rgs, secs)
 
 
+def test_dense_build_passes_compile(v5e):
+    """The sort-based dense filter builds (pass-1 k-mer slice + finish,
+    dense pass 2) must compile for v5e — they lean on lax.sort and
+    searchsorted at tens-of-millions scale, which this gate pins."""
+    from kbbq_tpu.pipeline.resident import (
+        _dense_finish, _pass1_kmers_slice, _pass2_dense)
+
+    B, N, L, M = 512, 1024, 150, 1 << 22
+    nkm = N * (L - 32 + 1)
+    codes = jax.ShapeDtypeStruct((N, L), jnp.int8)
+    ids = jax.ShapeDtypeStruct((N,), jnp.uint32)
+    log2_m = M.bit_length() - 1
+    _compile(v5e, functools.partial(_pass1_kmers_slice.__wrapped__,
+                                    k=32, num_hashes=7, log2_m=log2_m,
+                                    B=B),
+             codes, ids, jax.ShapeDtypeStruct((), jnp.uint32))
+    tri = jax.ShapeDtypeStruct((nkm,), jnp.uint32)
+    msk = jax.ShapeDtypeStruct((nkm,), jnp.bool_)
+    _compile(v5e,
+             lambda a, b, c, d, e, f: _dense_finish.__wrapped__(
+                 (a, b), (c, d), (e, f), log2_m=log2_m),
+             tri, tri, tri, tri, msk, msk)
+    _compile(v5e, functools.partial(_pass2_dense.__wrapped__, k=32,
+                                    num_hashes=7, trust_threshold=None,
+                                    log2_m=log2_m, B=B),
+             jax.ShapeDtypeStruct((M // 32,), jnp.uint32), codes,
+             jax.ShapeDtypeStruct((200,), jnp.int32))
+
+
 def test_pallas_walk_round_kernel_compile(v5e):
     """The Pallas walk round kernel must compile for v5e at bench-scale
     shapes (chunk 128, L=150, k=32, 2^26-bit filter pinned in VMEM).

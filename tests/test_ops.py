@@ -286,3 +286,29 @@ def test_apply_recal_table_matches_oracle():
 
 
 NUM_Q_MAX = 93
+
+
+def test_bloom_rows_dense_matches_scatter():
+    """The sort-based dense filter build (ops/bloom.py::bloom_rows_dense)
+    must produce the exact packed words of the scatter insert path."""
+    import jax.numpy as jnp
+
+    from kbbq_tpu.ops.bloom import (bloom_insert_rows, bloom_rows,
+                                    bloom_rows_dense, probe_words)
+
+    rng = np.random.default_rng(5)
+    m, h = 1 << 16, 7
+    N = 4096
+    hi = jnp.asarray(rng.integers(0, 2**32, N, dtype=np.uint32))
+    lo = jnp.asarray(rng.integers(0, 2**32, N, dtype=np.uint32))
+    mask = jnp.asarray(rng.random(N) < 0.8)
+    log2_m = m.bit_length() - 1
+    slots = bloom_insert_rows(jnp.zeros(m, jnp.uint8), hi, lo, mask, h)
+    want = np.asarray(bloom_rows(slots))
+    blk, w = probe_words(hi, lo, h, log2_m)
+    got = np.asarray(bloom_rows_dense(blk, w, mask, log2_m))
+    assert (got == want).all()
+    # all-masked corner: empty filter
+    none = np.asarray(bloom_rows_dense(blk, w, jnp.zeros(N, bool),
+                                       log2_m))
+    assert not none.any()
