@@ -231,19 +231,26 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         nr_hi = jnp.where(cm, pick(pr_hi), wr_hi)
         nr_lo = jnp.where(cm, pick(pr_lo), wr_lo)
 
-        # effective trust: windows t < W carry fresh query results; patched
-        # windows t >= W on a commit become UNKNOWN -> conservatively
-        # untrusted (the cursor will stop there and re-query; a false
-        # break is resolved by the trusted_here path, matching the
-        # oracle's per-window trust check)
+        # effective trust: windows t < W carry the candidate query; the
+        # remaining windows [W, k) of the CHOSEN sequence get their real
+        # trust from a second query in the same round.  (Marking them
+        # unknown->untrusted instead — the previous design — made the
+        # cursor stop at each stale window for a "re-verify" round:
+        # ~3 extra rounds per committed fix at W=8, k=32, and those
+        # rounds were ~75% of all walk rounds.  The pre-fill is exactly
+        # the value the oracle's later per-window trust check computes,
+        # on the already-patched lanes, so output bits are unchanged.)
         q_ch = pick(q)                                        # [B, W]
-        q_ext = jnp.concatenate(
-            [q_ch, jnp.zeros((B, k - W), bool)], 1) if W < k else q_ch
         in_n = t_vec < (n - jc)[:, None]            # window idx < n
-        known = t_vec < W                                     # [1, k]
-        upd = jnp.where(known, q_ext,
-                        jnp.where(cm, False, old_te))
-        te_new = jnp.where(active[:, None] & in_n, upd, old_te)
+        if W < k:
+            chi_t = pick(chi)                                 # [B, k]
+            clo_t = pick(clo)
+            q2 = query_fn(chi_t[:, W:], clo_t[:, W:])
+            q2 = q2 & wvalid[:, W:] & in_n[:, W:]
+            q_all = jnp.concatenate([q_ch, q2], 1)            # [B, k]
+        else:
+            q_all = q_ch
+        te_new = jnp.where(active[:, None] & in_n, q_all, old_te)
 
         # put-back: splice the k window columns (pure lane concatenate)
         vals5 = jnp.concatenate(
