@@ -348,6 +348,18 @@ def run_pipeline(arrays: ReadArrays, config: RecalConfig,
                         if m_a + m_b <= REPLICATED_BLOOM_BUDGET
                         else "sharded")
     if bloom_layout == "replicated":
+        # device-resident sharded fast path (one jit per pass, dense
+        # sort-built filters, OR all-reduce merge) when nothing needs
+        # per-batch hooks — same gate as the single-chip resident route
+        RESIDENT_BUDGET = 6 << 30
+        if (checkpoint_dir is None and start_ordinal == 0
+                and arrays.num_reads
+                and arrays.num_reads * arrays.max_len * 6
+                <= RESIDENT_BUDGET):
+            from ..parallel.resident_sharded import \
+                recalibrate_arrays_resident_sharded
+            return recalibrate_arrays_resident_sharded(arrays, config,
+                                                       mesh=mesh)
         from ..parallel.sharded import sharded_recalibrate_arrays
         return sharded_recalibrate_arrays(
             arrays, config, mesh, start_ordinal,

@@ -445,9 +445,8 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     la = int(params_a.m).bit_length() - 1
     lb = int(params_b.m).bit_length() - 1
     codes_parts, mask_parts, kmer_parts = [], [], []
-    h2d_wait, slice_times = 0.0, []
+    slice_times = []
     for codes_i, mask_i, ids_i, wait in staged_slices():
-        h2d_wait += wait
         codes_parts.append(codes_i)
         mask_parts.append(mask_i)
         t_d = _time.time()

@@ -18,8 +18,15 @@ def report(cfg, r):
                       "passes": r["detail"]["pass_times_s"]}), flush=True)
 
 
-r = bench.run(400_000, 150, 32, 8192, walk_chunk=64)
-report("preroll_wc64", r)
-
 r = bench.run(400_000, 150, 32, 8192)
-report("preroll_wc128", r)
+report("prefill_wc128", r)
+
+r = bench.run(400_000, 150, 32, 8192, walk_chunk=256)
+report("prefill_wc256", r)
+
+r = bench.run(400_000, 150, 32, 8192, walk_chunk=512)
+report("prefill_wc512", r)
+
+# full E. coli-scale config (BASELINE config 2): 1.5M reads 2x150 ~50x
+r = bench.run(1_500_000, 150, 32, 8192, parity=False)
+report("ecoli_full", r)

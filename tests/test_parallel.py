@@ -97,3 +97,22 @@ def test_sharded_checkpoint_resume(arrays, single_chip_quals, tmp_path):
     got4 = sharded_bloom_recalibrate_arrays(arrays, cfg, mesh=mesh,
                                             checkpoint_dir=str(ck2))
     assert (got4 == single_chip_quals).all()
+
+
+@pytest.mark.parametrize("ndev", [1, 2, 8])
+def test_resident_sharded_matches_single_chip(arrays, single_chip_quals,
+                                              ndev):
+    """The device-resident sharded pipeline (one jit per pass, dense
+    sort-built filters, OR all-reduce merge) is bit-identical to the
+    single-chip pipeline for any device count."""
+    from kbbq_tpu.parallel.resident_sharded import \
+        recalibrate_arrays_resident_sharded
+
+    mesh = make_mesh(ndev)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    t = {}
+    got = recalibrate_arrays_resident_sharded(arrays, cfg, mesh=mesh,
+                                              timings=t)
+    assert set(t) >= {"h2d", "pass1", "pass2", "pass3", "pass4"}
+    assert got.shape == single_chip_quals.shape
+    assert (got == single_chip_quals).all()
