@@ -59,3 +59,29 @@ def test_fuzz_device_matches_oracle(seed, k, alpha, n_rate, lmin, lmax):
     for i, w in enumerate(want):
         assert (got[i][:w.size].astype(np.int64) == w).all(), \
             f"case seed={seed} k={k}: read {i} differs"
+
+
+@pytest.mark.parametrize("seed,k,alpha,n_rate,lmin,lmax",
+                         [CASES[1], CASES[4]])
+def test_fuzz_resident_paths_match_batched(seed, k, alpha, n_rate,
+                                           lmin, lmax):
+    """The device-resident single-chip and sharded fast paths must be
+    byte-identical to the batched pipeline on fuzz configs (mixed
+    lengths, N bases, k lane boundaries)."""
+    from kbbq_tpu.parallel import make_mesh
+    from kbbq_tpu.parallel.resident_sharded import \
+        recalibrate_arrays_resident_sharded
+    from kbbq_tpu.pipeline.resident import recalibrate_arrays_resident
+
+    rng = np.random.default_rng(seed)
+    codes, quals = _random_reads(rng, 150, lmin, lmax, n_rate)
+    rgs = (rng.integers(0, 2, 150)).astype(np.int32).tolist()
+    secs = (rng.integers(0, 2, 150) == 1).tolist()
+    arrays = ReadArrays.from_lists(codes, quals, rgs, secs)
+    cfg = RecalConfig(k=k, alpha=alpha, coverage=20.0, batch_size=64)
+    want = recalibrate_arrays(arrays, cfg)
+    got_res = recalibrate_arrays_resident(arrays, cfg)
+    assert (got_res == want).all()
+    got_sh = recalibrate_arrays_resident_sharded(
+        arrays, cfg, mesh=make_mesh(8))
+    assert (got_sh == want).all()
