@@ -23,6 +23,21 @@ def _log(msg):
           flush=True)
 
 
+def _tpu_reachable(timeout_s: int = 240) -> bool:
+    """Probe device init in a SUBPROCESS: when the axon relay is dead,
+    jax backend discovery hangs the calling process irrecoverably
+    (docs/KNOWN_ISSUES.md #7) — a subprocess probe can be timed out."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()"],
+            capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def golden_quals(num_reads: int, read_len: int, k: int,
                  batch_size: int) -> "np.ndarray | None":
     """CPU-backend output for the bench dataset (the parity authority).
@@ -220,6 +235,16 @@ def main() -> int:
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
+    # the axon relay has died mid-session before (KNOWN_ISSUES #7): a
+    # hung device init would record NO bench at all.  Probe in a
+    # subprocess; on failure fall back to the CPU backend at reduced
+    # scale so the run still records an honest (annotated) number.
+    if not _tpu_reachable():
+        _log("TPU relay unreachable — falling back to CPU backend "
+             "at reduced scale (see detail.device)")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        args.reads = min(args.reads, 20_000)
     result = run(args.reads, args.read_len, args.k, args.batch_size,
                  parity=not args.no_parity,
                  use_pallas=True if args.pallas else None,
