@@ -77,6 +77,13 @@ def cmd_recalibrate(args) -> int:
     outs = args.output or ["-"]
     outs = [sys.stdout.buffer if o == "-" else o for o in outs]
     t0 = time.time()
+    if args.input[0].endswith(".cram"):
+        # explicit rejection beats a confusing FASTQ-codec failure (the
+        # reference reads CRAM via htslib; this framework's codec layer
+        # covers FASTQ[.gz]/SAM/BAM — convert with `samtools view -b`)
+        raise SystemExit(
+            "CRAM input is not supported; convert to BAM first "
+            "(samtools view -b in.cram > in.bam)")
     if args.input[0].endswith((".bam", ".sam")):
         if len(args.input) != 1:
             raise SystemExit("BAM mode takes exactly one input")

@@ -149,3 +149,19 @@ def test_cli_interleaved_changes_cycles(fq_file, tmp_path):
                  "--batch-size", "64", "--interleaved", "-o", str(o2))
     assert r1.returncode == 0 and r2.returncode == 0
     assert o1.read_bytes() != o2.read_bytes()
+
+
+def test_cram_rejected_with_clear_error(tmp_path):
+    """CRAM input gets an explicit unsupported-format error instead of a
+    confusing codec failure (same pattern as round-1's SAM fix)."""
+    import subprocess
+    import sys
+
+    p = tmp_path / "in.cram"
+    p.write_bytes(b"CRAM\x03\x00junk")
+    r = subprocess.run(
+        [sys.executable, "-m", "kbbq_tpu", "recalibrate", str(p)],
+        capture_output=True, env={**__import__('os').environ,
+                                  "KBBQ_PLATFORM": "cpu"})
+    assert r.returncode != 0
+    assert b"CRAM input is not supported" in r.stderr
