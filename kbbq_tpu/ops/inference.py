@@ -158,7 +158,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     tw_vec = t_vec[:, :W]
     bit_f = (2 * t_vec)[None]                       # [1, 1, k]
     bit_r = (2 * (k - 1 - t_vec))[None]
-    cand = jnp.arange(4, dtype=_i32)
+    c3_iota = jnp.arange(3, dtype=_i32)
 
     def pad_nk(a):
         return jnp.concatenate(
@@ -189,7 +189,17 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         wvalid = win6[5 * B:] > 0
         orig = planes[7 * B:, k - 1].astype(_i32)   # work col k-1 [B]
 
-        cval = cand.astype(_u32)[None, :, None]     # [1, 4, 1]
+        # only the 3 NON-original candidates are built and queried, in
+        # ascending original-code order (the oracle's `c == orig:
+        # continue`).  Effective trust is EXACT — the commit-round
+        # pre-fill below covers all k windows a commit can change — so
+        # the break window is untrusted under the original base by
+        # construction: the original plane's probes and the old
+        # trusted_here re-verify path were provably dead (a quarter of
+        # the round's serialized probe traffic).
+        c3 = c3_iota[None, :] + \
+            (c3_iota[None, :] >= orig[:, None]).astype(_i32)    # [B, 3]
+        cval = c3.astype(_u32)[:, :, None]          # [B, 3, 1]
         pf_hi, pf_lo = _patch_lanes(wf_hi[:, None], wf_lo[:, None],
                                     bit_f, cval)
         pr_hi, pr_lo = _patch_lanes(wr_hi[:, None], wr_lo[:, None],
@@ -198,32 +208,28 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         # only the first W windows are queried (ext caps at W, D7): the
         # serialized TPU gather dominates round cost, so probe traffic
         # shrinks k/W-fold; lanes are still patched for all k windows
-        q = query_fn(chi[:, :, :W], clo[:, :, :W])          # [B, 4, W]
+        q = query_fn(chi[:, :, :W], clo[:, :, :W])          # [B, 3, W]
         q = q & wvalid[:, None, :W] & \
             (tw_vec[None] < (n - jc)[:, None, None])
-        ext = _leading_true(q)                              # [B, 4]
+        ext = _leading_true(q)                              # [B, 3]
 
-        e_orig = jnp.take_along_axis(ext, orig[:, None], 1)[:, 0]
-        masked = jnp.where(cand[None] == orig[:, None], jnp.int32(-1), ext)
         if rev_ties:   # RC walk: ties -> largest RC code == smallest orig
-            best_c = (3 - jnp.argmax(masked[:, ::-1], axis=1)).astype(_i32)
+            bi = (2 - jnp.argmax(ext[:, ::-1], axis=1)).astype(_i32)
         else:
-            best_c = jnp.argmax(masked, axis=1).astype(_i32)
-        best_ext = jnp.take_along_axis(masked, best_c[:, None], 1)[:, 0]
+            bi = jnp.argmax(ext, axis=1).astype(_i32)
+        best_c = jnp.take_along_axis(c3, bi[:, None], 1)[:, 0]
+        best_ext = jnp.take_along_axis(ext, bi[:, None], 1)[:, 0]
 
-        trusted_here = e_orig >= 1
-        fixable = best_ext >= 1
-        mark = active & ~trusted_here
-        commit = mark & fixable
-        chosen = jnp.where(commit, best_c, orig)
+        mark = active
+        commit = mark & (best_ext >= 1)
 
-        # chosen candidate's patched lanes: 4-way select, not gather
+        # chosen candidate's patched lanes: 3-way select, not gather
         cm = commit[:, None]
 
-        def pick(stacked):                          # [B, 4, k] -> [B, k]
+        def pick(stacked):                          # [B, 3, k] -> [B, k]
             out = stacked[:, 0]
-            for c in range(1, 4):
-                out = jnp.where(chosen[:, None] == c, stacked[:, c], out)
+            for c in range(1, 3):
+                out = jnp.where(bi[:, None] == c, stacked[:, c], out)
             return out
 
         nf_hi = jnp.where(cm, pick(pf_hi), wf_hi)
@@ -231,7 +237,8 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         nr_hi = jnp.where(cm, pick(pr_hi), wr_hi)
         nr_lo = jnp.where(cm, pick(pr_lo), wr_lo)
 
-        # effective trust: windows t < W carry the candidate query; the
+        # effective trust: COMMIT rows refresh all k windows a commit
+        # can change — windows t < W carry the candidate query, the
         # remaining windows [W, k) of the CHOSEN sequence get their real
         # trust from a second query in the same round.  (Marking them
         # unknown->untrusted instead — the previous design — made the
@@ -240,6 +247,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         # rounds were ~75% of all walk rounds.  The pre-fill is exactly
         # the value the oracle's later per-window trust check computes,
         # on the already-patched lanes, so output bits are unchanged.)
+        # Non-commit rows change nothing, so their trust IS old_te.
         q_ch = pick(q)                                        # [B, W]
         in_n = t_vec < (n - jc)[:, None]            # window idx < n
         if W < k:
@@ -250,7 +258,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
             q_all = jnp.concatenate([q_ch, q2], 1)            # [B, k]
         else:
             q_all = q_ch
-        te_new = jnp.where(active[:, None] & in_n, q_all, old_te)
+        te_new = jnp.where(commit[:, None] & in_n, q_all, old_te)
 
         # put-back: splice the k window columns (pure lane concatenate)
         vals5 = jnp.concatenate(
@@ -258,7 +266,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         upd5 = jnp.concatenate([vals5, planes[:5 * B, k:]], 1)
 
         # sequence + error mask: absolute p = jc+k-1 == rolled col k-1
-        newb = jnp.where(commit, chosen, orig)
+        newb = jnp.where(commit, best_c, orig)
         err_pl = planes[6 * B:7 * B]
         err_pl = err_pl.at[:, k - 1].set(
             err_pl[:, k - 1] | mark.astype(_u32))
@@ -268,8 +276,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
 
         # next break in ROLLED coordinates: first col c >= adv with
         # valid & ~teff and c < n - jc (absolute < n), else done
-        adv = jnp.where(trusted_here, e_orig,
-                        jnp.where(fixable, best_ext, 1))
+        adv = jnp.maximum(best_ext, 1)      # committed ext, else 1
         teffp = upd5[4 * B:, :]
         validp = planes[5 * B:6 * B]
         c_iota = jax.lax.broadcasted_iota(_i32, (B, nk), 1)

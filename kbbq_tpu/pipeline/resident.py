@@ -169,7 +169,9 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
     # transfer; raw bytes only for >16 distinct values.
     quals_h = p2(arrays.quals, 0)
 
-    def _pack_and_put_quals():
+    def _pack_and_put_quals(stage_times: dict):
+        import time as _t
+        t0 = _t.time()
         # O(n) bincount/LUT palette detection (np.unique sorts — it cost
         # seconds of critical-path host time on 60 MB at bench scale)
         counts = np.bincount(quals_h.ravel().astype(np.uint8),
@@ -194,21 +196,32 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
             packed_q, qmode = quals_h, 8
         pal = np.pad(uniq, (0, (1 << qmode) - uniq.size)) \
             if qmode < 8 else uniq
-        return jax.device_put(packed_q), pal, qmode
+        stage_times["pack"] = round(_t.time() - t0, 3)
+        t1 = _t.time()
+        dev = jax.device_put(packed_q)
+        stage_times["put_call"] = round(_t.time() - t1, 3)
+        return dev, pal, qmode
 
     def start_quals_put():
         # the WHOLE pack+put runs on the background thread: the host is
         # idle while the pass-3 walks compute, so the palette pack costs
         # zero critical-path time
         import concurrent.futures as _cf
+        import time as _t
         _ex = _cf.ThreadPoolExecutor(1)
-        fut = _ex.submit(_pack_and_put_quals)
+        stage_times = {}
+        fut = _ex.submit(_pack_and_put_quals, stage_times)
         _ex.shutdown(wait=False)
 
-        def join():
+        def join(timings=None):
             dev, pal, qmode = fut.result()
-            return _expand_quals(dev, jnp.asarray(pal), L=L,
-                                 qmode=qmode, dtype=quals_h.dtype.name)
+            t0 = _t.time()
+            out = _expand_quals(dev, jnp.asarray(pal), L=L,
+                                qmode=qmode, dtype=quals_h.dtype.name)
+            stage_times["expand_call"] = round(_t.time() - t0, 3)
+            if timings is not None:
+                timings["quals_stages"] = dict(stage_times)
+            return out
         return join
 
     return (staged_slices, start_quals_put, jnp.asarray(rgs),
@@ -495,7 +508,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                           B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
     join_quals = start_quals_put()
     t_q = _time.time()
-    quals = join_quals()
+    quals = join_quals(timings)
     t_w = _time.time()
     jax.block_until_ready(errors)
     t_e = _time.time()
