@@ -285,4 +285,107 @@ void kbbq_apply_recal(const int8_t* recal, int32_t nrg, int32_t nq,
   for (auto& th : pool) th.join();
 }
 
+// ------------------------------------------------- host->device packers
+//
+// The device-resident pipeline ships 2-bit/4-bit palette indices instead
+// of raw bytes (pipeline/resident.py).  The numpy version of this pack
+// (LUT fancy-index + four shifted slices) costs ~1 s over 60 MB on this
+// host and runs under the GIL, where it contends with the relay client's
+// polling threads (measured 4x inflation while a pass-3 dispatch was in
+// flight).  One fused multithreaded pass at memory bandwidth instead.
+
+// 256-entry byte histogram (palette detection), threaded.
+void kbbq_byte_hist(const uint8_t* in, int64_t n, int64_t* out,
+                    int32_t threads) {
+  if (threads < 1) threads = 1;
+  std::vector<std::vector<int64_t>> part(threads,
+                                         std::vector<int64_t>(256, 0));
+  auto work = [&](int32_t t, int64_t r0, int64_t r1) {
+    auto& h = part[t];
+    for (int64_t i = r0; i < r1; i++) h[in[i]]++;
+  };
+  std::vector<std::thread> pool;
+  int64_t step = (n + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; t++) {
+    int64_t r0 = t * step, r1 = r0 + step > n ? n : r0 + step;
+    if (r0 >= r1) break;
+    pool.emplace_back(work, t, r0, r1);
+  }
+  for (auto& th : pool) th.join();
+  for (int v = 0; v < 256; v++) {
+    int64_t s = 0;
+    for (auto& h : part) s += h[v];
+    out[v] = s;
+  }
+}
+
+// Fused LUT + quarter-plane 2-bit pack: out[i, j] = lut[in[i, j]]
+//                                               | lut[in[i, j+Lq]] << 2
+//                                               | lut[in[i, j+2Lq]] << 4
+//                                               | lut[in[i, j+3Lq]] << 6
+// where Lq = ceil(L/4) and columns past L read as 0 (same layout as
+// pipeline/resident.py::_pack_quarters on the LUT-mapped array).
+void kbbq_pack_lut2(const uint8_t* in, int64_t nrows, int64_t L,
+                    const uint8_t* lut, uint8_t* out, int32_t threads) {
+  if (threads < 1) threads = 1;
+  int64_t Lq = (L + 3) / 4;
+  auto get = [&](const uint8_t* row, int64_t j) -> uint8_t {
+    return j < L ? lut[row[j]] : 0;
+  };
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; i++) {
+      const uint8_t* row = in + i * L;
+      uint8_t* o = out + i * Lq;
+      for (int64_t j = 0; j < Lq; j++)
+        o[j] = (uint8_t)(get(row, j) | (get(row, j + Lq) << 2) |
+                         (get(row, j + 2 * Lq) << 4) |
+                         (get(row, j + 3 * Lq) << 6));
+    }
+  };
+  if (threads == 1 || nrows < 4096) {
+    work(0, nrows);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t step = (nrows + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; t++) {
+    int64_t r0 = t * step, r1 = r0 + step > nrows ? nrows : r0 + step;
+    if (r0 >= r1) break;
+    pool.emplace_back(work, r0, r1);
+  }
+  for (auto& th : pool) th.join();
+}
+
+// Fused LUT + half-plane 4-bit pack: out[i, j] = lut[in[i, j]]
+//                                            | lut[in[i, j+Lh]] << 4,
+// Lh = ceil(L/2); columns past L read as 0.
+void kbbq_pack_lut4(const uint8_t* in, int64_t nrows, int64_t L,
+                    const uint8_t* lut, uint8_t* out, int32_t threads) {
+  if (threads < 1) threads = 1;
+  int64_t Lh = (L + 1) / 2;
+  auto get = [&](const uint8_t* row, int64_t j) -> uint8_t {
+    return j < L ? lut[row[j]] : 0;
+  };
+  auto work = [&](int64_t r0, int64_t r1) {
+    for (int64_t i = r0; i < r1; i++) {
+      const uint8_t* row = in + i * L;
+      uint8_t* o = out + i * Lh;
+      for (int64_t j = 0; j < Lh; j++)
+        o[j] = (uint8_t)(get(row, j) | (get(row, j + Lh) << 4));
+    }
+  };
+  if (threads == 1 || nrows < 4096) {
+    work(0, nrows);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t step = (nrows + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; t++) {
+    int64_t r0 = t * step, r1 = r0 + step > nrows ? nrows : r0 + step;
+    if (r0 >= r1) break;
+    pool.emplace_back(work, r0, r1);
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // extern "C"

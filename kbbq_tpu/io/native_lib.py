@@ -72,8 +72,52 @@ def get_lib():
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32]
+    lib.kbbq_byte_hist.restype = None
+    lib.kbbq_byte_hist.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+    for fn in (lib.kbbq_pack_lut2, lib.kbbq_pack_lut4):
+        fn.restype = None
+        fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                       ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
     _lib = lib
     return _lib
+
+
+def byte_hist(arr: "np.ndarray") -> "np.ndarray | None":
+    """Threaded 256-bin byte histogram of a contiguous array (palette
+    detection off the GIL); None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr).view(np.uint8)
+    out = np.zeros(256, np.int64)
+    lib.kbbq_byte_hist(a.ctypes.data, a.size, out.ctypes.data,
+                       default_threads())
+    return out
+
+
+def pack_lut(arr: "np.ndarray", lut: "np.ndarray",
+             bits: int) -> "np.ndarray | None":
+    """Fused LUT + plane pack of a [N, L] byte array (2- or 4-bit
+    palette indices; layout of pipeline/resident.py::_pack_quarters on
+    the LUT-mapped array).  None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(arr).view(np.uint8)
+    n, L = a.shape
+    lut8 = np.ascontiguousarray(lut, dtype=np.uint8)
+    assert lut8.size == 256
+    if bits == 2:
+        out = np.empty((n, (L + 3) // 4), np.uint8)
+        lib.kbbq_pack_lut2(a.ctypes.data, n, L, lut8.ctypes.data,
+                           out.ctypes.data, default_threads())
+    else:
+        assert bits == 4
+        out = np.empty((n, (L + 1) // 2), np.uint8)
+        lib.kbbq_pack_lut4(a.ctypes.data, n, L, lut8.ctypes.data,
+                           out.ctypes.data, default_threads())
+    return out
 
 
 def default_threads() -> int:

@@ -159,41 +159,50 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
                                  jnp.uint32(b0 * B), L=L,
                                  n_real=N) + (wait,)
     # quals are only read by the pass-3 ACCUMULATE (after the walks);
-    # the transfer is started lazily by the caller — AFTER the walk
-    # dispatch — so it never contends the relay with the codes h2d or
-    # the pass-1/2 dispatch round-trips, and fully hides under the
-    # multi-second walk compute.  Real quality strings have FEW distinct
-    # values (Illumina RTA3 emits exactly 4), so palette-pack: ship
-    # 2-bit (<=4 distinct) or 4-bit (<=16) palette indices and rebuild
-    # on device — 4x/2x fewer tunnel bytes for the dominant remaining
-    # transfer; raw bytes only for >16 distinct values.
+    # the pack+put starts NOW on a background thread and the caller
+    # joins it only after the walk dispatch — the transfer hides under
+    # the whole pass-1..3 compute window.  Real quality strings have FEW
+    # distinct values (Illumina RTA3 emits exactly 4), so palette-pack:
+    # ship 2-bit (<=4 distinct) or 4-bit (<=16) palette indices and
+    # rebuild on device — 4x/2x fewer tunnel bytes for the dominant
+    # remaining transfer; raw bytes only for >16 distinct values.  The
+    # pack itself runs in the native codec off the GIL when available
+    # (the numpy pack costs ~1 s over 60 MB and inflated ~4x under GIL
+    # contention with the relay client while dispatches were in flight).
     quals_h = p2(arrays.quals, 0)
 
     def _pack_and_put_quals(stage_times: dict):
         import time as _t
+
+        from ..io import native_lib
         t0 = _t.time()
-        # O(n) bincount/LUT palette detection (np.unique sorts — it cost
-        # seconds of critical-path host time on 60 MB at bench scale)
-        counts = np.bincount(quals_h.ravel().astype(np.uint8),
-                             minlength=256)
+        counts = native_lib.byte_hist(quals_h)
+        if counts is None:
+            # O(n) bincount/LUT palette detection (np.unique sorts — it
+            # cost seconds of critical-path host time on 60 MB)
+            counts = np.bincount(quals_h.ravel().view(np.uint8),
+                                 minlength=256)
         uniq = np.flatnonzero(counts).astype(quals_h.dtype)
-        if uniq.size <= 16:
+        qmode = 2 if uniq.size <= 4 else (4 if uniq.size <= 16 else 8)
+        if qmode < 8:
             lut = np.zeros(256, np.uint8)
             lut[uniq.astype(np.uint8)] = np.arange(uniq.size,
                                                    dtype=np.uint8)
-            idx = lut[quals_h.astype(np.uint8)]
-        if uniq.size <= 4:
-            packed_q, qmode = _pack_quarters(idx), 2
-        elif uniq.size <= 16:
-            pad_c = (-idx.shape[1]) % 2
-            if pad_c:
-                idx = np.concatenate(
-                    [idx, np.zeros((idx.shape[0], pad_c), np.uint8)],
-                    axis=1)
-            Lh = idx.shape[1] // 2
-            packed_q, qmode = idx[:, :Lh] | (idx[:, Lh:] << 4), 4
+            packed_q = native_lib.pack_lut(quals_h, lut, qmode)
+            if packed_q is None:                     # numpy fallback
+                idx = lut[quals_h.view(np.uint8)]
+                if qmode == 2:
+                    packed_q = _pack_quarters(idx)
+                else:
+                    pad_c = (-idx.shape[1]) % 2
+                    if pad_c:
+                        idx = np.concatenate(
+                            [idx, np.zeros((idx.shape[0], pad_c),
+                                           np.uint8)], axis=1)
+                    Lh = idx.shape[1] // 2
+                    packed_q = idx[:, :Lh] | (idx[:, Lh:] << 4)
         else:
-            packed_q, qmode = quals_h, 8
+            packed_q = quals_h
         pal = np.pad(uniq, (0, (1 << qmode) - uniq.size)) \
             if qmode < 8 else uniq
         stage_times["pack"] = round(_t.time() - t0, 3)
@@ -202,29 +211,23 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
         stage_times["put_call"] = round(_t.time() - t1, 3)
         return dev, pal, qmode
 
-    def start_quals_put():
-        # the WHOLE pack+put runs on the background thread: the host is
-        # idle while the pass-3 walks compute, so the palette pack costs
-        # zero critical-path time
-        import concurrent.futures as _cf
-        import time as _t
-        _ex = _cf.ThreadPoolExecutor(1)
-        stage_times = {}
-        fut = _ex.submit(_pack_and_put_quals, stage_times)
-        _ex.shutdown(wait=False)
+    import time as _time
+    _qex = _cf.ThreadPoolExecutor(1)
+    _q_stages: dict = {}
+    _q_fut = _qex.submit(_pack_and_put_quals, _q_stages)
+    _qex.shutdown(wait=False)
 
-        def join(timings=None):
-            dev, pal, qmode = fut.result()
-            t0 = _t.time()
-            out = _expand_quals(dev, jnp.asarray(pal), L=L,
-                                qmode=qmode, dtype=quals_h.dtype.name)
-            stage_times["expand_call"] = round(_t.time() - t0, 3)
-            if timings is not None:
-                timings["quals_stages"] = dict(stage_times)
-            return out
-        return join
+    def join_quals(timings=None):
+        dev, pal, qmode = _q_fut.result()
+        t0 = _time.time()
+        out = _expand_quals(dev, jnp.asarray(pal), L=L,
+                            qmode=qmode, dtype=quals_h.dtype.name)
+        _q_stages["expand_call"] = round(_time.time() - t0, 3)
+        if timings is not None:
+            timings["quals_stages"] = dict(_q_stages)
+        return out
 
-    return (staged_slices, start_quals_put, jnp.asarray(rgs),
+    return (staged_slices, join_quals, jnp.asarray(rgs),
             jnp.asarray(seconds), nb)
 
 
@@ -441,7 +444,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     use_pallas = (config.pallas_enabled()
                   and params_b.m // 8 <= PALLAS_VMEM_BUDGET)
 
-    staged_slices, start_quals_put, rgs, seconds, nb = \
+    staged_slices, join_quals, rgs, seconds, nb = \
         _pad_to_batches(arrays, B)
 
     # DENSE sort-builds replace the serialized insert scatters when the
@@ -501,12 +504,12 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                             trust_threshold=config.trust_threshold, B=B)
     jax.block_until_ready(rows_b)
     _mark("pass2")
-    # dispatch the walks (codes-only) first, THEN start + join the quals
-    # transfer: it rides the relay while the walks compute
+    # dispatch the walks (codes-only) first, THEN join the quals
+    # transfer (already in flight since staging): it rides the relay
+    # and the host CPU while passes 1-3 compute
     errors = _pass3_walks(rows_b, codes, k=k, num_hashes=h,
                           ext_cap=config.ext_cap, use_pallas=use_pallas,
                           B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
-    join_quals = start_quals_put()
     t_q = _time.time()
     quals = join_quals(timings)
     t_w = _time.time()

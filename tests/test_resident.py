@@ -84,8 +84,8 @@ def test_quals_palette_pack_roundtrip(nvals):
     arrays = ReadArrays(codes, quals, mask,
                         np.zeros(N, np.int32), np.zeros(N, bool))
     B = 16
-    _, start_quals_put, *_ = _pad_to_batches(arrays, B)
-    got = np.asarray(start_quals_put()())
+    _, join_quals, *_ = _pad_to_batches(arrays, B)
+    got = np.asarray(join_quals())
     npad = ((N + B - 1) // B) * B
     want = np.concatenate(
         [quals, np.zeros((npad - N, L), np.int8)])
