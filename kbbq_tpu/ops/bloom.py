@@ -125,17 +125,25 @@ def probe_words(hi: jax.Array, lo: jax.Array, num_hashes: int,
 def bloom_rows_dense(block: jax.Array, w: jax.Array, mask: jax.Array,
                      log2_m: int) -> jax.Array:
     """Packed filter (uint32 [m/32]) from per-k-mer (block, word) pairs
-    via sort + segmented OR + dense extract — NO scatter.
+    via sort + segmented OR + compaction sort + one unique scatter.
 
     TPU scatters run serialized (~16 ns/index: 0.75 s/pass at the 400k
-    bench); this build is sort 240 ms + scan 70 ms + searchsorted
-    320 ms at 48M keys (microbenched on v5e), and every stage is
-    vectorized.  Exactness: sort groups equal blocks; the running OR
-    within a segment is numerically MONOTONE (a|b >= a unsigned), so
-    the segment-last running-OR value IS the full OR of the segment,
-    and the dense extract (binary search of each word index, 'right'
-    boundary - 1 = segment last) reads exactly it.  Masked k-mers get
-    sentinel block m/32 (sorts last, never extracted).
+    bench when every k-mer slot scatters); here only the <= M segment-
+    last entries do.  Stages at 49M keys / M=2^21 words (v5e): sort
+    210 ms + OR-scan 70 ms + compaction sort 210 ms + 2M-index scatter
+    ~35 ms.  (The previous extract — searchsorted of all M word indices
+    into the 49M sorted keys — cost ~1.2 s: binary-search cost scales
+    with M x log n, the compaction sort does not.)
+
+    Exactness: sort groups equal blocks; the running OR within a
+    segment is numerically MONOTONE (a|b >= a unsigned), so the
+    segment-last running-OR value IS the full OR of the segment.  The
+    second sort moves exactly the segment-last pairs (one per distinct
+    block, <= M of them) to the front in block order; everything else
+    carries sentinel key M and is dropped by the scatter (index M is
+    out of bounds for the [M] output).  Masked k-mers get sentinel
+    block M after the first sort too, so they join a trailing segment
+    whose last entry also carries key M and is dropped.
     """
     M = 1 << (log2_m - 5)
     bs, ws = jax.lax.sort(
@@ -146,7 +154,8 @@ def bloom_rows_dense(block: jax.Array, w: jax.Array, mask: jax.Array,
     # shifts; lax.associative_scan's recursive build did not finish
     # compiling at 48M elements)
     v = ws
-    f = jnp.concatenate([jnp.ones((1,), bool), bs[1:] != bs[:-1]])
+    f0 = jnp.concatenate([jnp.ones((1,), bool), bs[1:] != bs[:-1]])
+    f = f0
     d = 1
     while d < n:
         pv = jnp.concatenate([jnp.zeros((d,), _u32), v[:-d]])
@@ -154,10 +163,16 @@ def bloom_rows_dense(block: jax.Array, w: jax.Array, mask: jax.Array,
         v = jnp.where(f, v, v | pv)
         f = f | pf
         d <<= 1
-    q = jnp.arange(M, dtype=_u32)
-    p = jnp.searchsorted(bs, q, side="right").astype(jnp.int32) - 1
-    pc = jnp.clip(p, 0, n - 1)
-    return jnp.where(bs[pc] == q, v[pc], _u32(0))
+    # segment-last flags from the ORIGINAL boundaries
+    is_last = jnp.concatenate([f0[1:], jnp.ones((1,), bool)])
+    key2 = jnp.where(is_last, bs, _u32(M))      # sentinels sort last
+    ks, vs = jax.lax.sort((key2, v), num_keys=1)
+    P = min(M + 1, n)        # at most one segment-last per block value
+    kp = ks[:P].astype(jnp.int32)               # ascending, uniques first
+    vp = vs[:P]
+    kp, vp = jax.lax.optimization_barrier((kp, vp))
+    return jnp.zeros(M, _u32).at[kp].set(
+        vp, mode="drop", indices_are_sorted=True, unique_indices=False)
 
 
 @jax.jit

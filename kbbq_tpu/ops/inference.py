@@ -213,10 +213,19 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
             (tw_vec[None] < (n - jc)[:, None, None])
         ext = _leading_true(q)                              # [B, 3]
 
-        if rev_ties:   # RC walk: ties -> largest RC code == smallest orig
-            bi = (2 - jnp.argmax(ext[:, ::-1], axis=1)).astype(_i32)
+        # RC walk: ties -> largest RC code == smallest original code.
+        # rev_ties is either a static bool (whole batch one direction)
+        # or a per-row bool vector (direction-split scheduling mixes
+        # forward and RC lanes in one chunk).
+        if isinstance(rev_ties, bool):
+            if rev_ties:
+                bi = (2 - jnp.argmax(ext[:, ::-1], axis=1)).astype(_i32)
+            else:
+                bi = jnp.argmax(ext, axis=1).astype(_i32)
         else:
-            bi = jnp.argmax(ext, axis=1).astype(_i32)
+            bi_f = jnp.argmax(ext, axis=1).astype(_i32)
+            bi_r = (2 - jnp.argmax(ext[:, ::-1], axis=1)).astype(_i32)
+            bi = jnp.where(rev_ties, bi_r, bi_f)
         best_c = jnp.take_along_axis(c3, bi[:, None], 1)[:, 0]
         best_ext = jnp.take_along_axis(ext, bi[:, None], 1)[:, 0]
 
@@ -253,7 +262,17 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         if W < k:
             chi_t = pick(chi)                                 # [B, k]
             clo_t = pick(clo)
-            q2 = query_fn(chi_t[:, W:], clo_t[:, W:])
+            # q2's result only matters on commit rows; rounds with no
+            # commit anywhere (most rounds in hard/junk chunks) skip
+            # the serialized [B, k-W] gather entirely.  The predicate
+            # uses the caller's reduce_any so that a collective
+            # query_fn stays rendezvous-safe: all devices agree on
+            # whether the branch (and its collectives) runs.
+            q2 = jax.lax.cond(
+                reduce_any(commit),
+                lambda a: query_fn(a[0], a[1]),
+                lambda a: jnp.zeros((B, k - W), bool),
+                (chi_t[:, W:], clo_t[:, W:]))
             q2 = q2 & wvalid[:, W:] & in_n[:, W:]
             q_all = jnp.concatenate([q_ch, q2], 1)            # [B, k]
         else:
@@ -509,18 +528,35 @@ def infer_errors_sorted(rows, codes, k: int, num_hashes: int,
 def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
                            chunk: int = WALK_CHUNK, ext_cap=None,
                            use_pallas: bool = False) -> jax.Array:
-    """infer_errors_sorted with the chunk loop as `lax.map` (the walk
-    body is compiled ONCE, not unrolled B/chunk times) — same math, same
-    bits; the form used inside the resident pipeline's single-dispatch
-    pass 3 where B/chunk copies of the walk would dominate compile time.
-    Requires B % chunk == 0 (the resident pipeline pads batches).
+    """Difficulty-scheduled inference over DIRECTIONAL walk lanes.
 
-    Round-2 device trace: the walks themselves were ~1s of a 4.5s pass 3
-    — the rest was scheduling overhead (serialized permutation gather/
-    scatter, per-chunk lane packing).  So the permutation runs on the
-    MXU (one-hot matmuls, _permute_rows_mxu), lanes are packed ONCE at
-    batch level on the sorted codes and sliced per chunk, and the
-    initial all-window query doubles as every chunk's trusted0.
+    The right and left walks of one read are provably independent: the
+    right walk only touches windows > anchor-end b (bases >= b+k) and
+    the left walk only windows < anchor-start a (bases <= a+k-2), with
+    a <= b — disjoint window, base, AND effective-trust ranges.  So
+    each read contributes TWO independent lanes (forward walk on the
+    read, left walk as a forward walk on its reverse complement), and
+    the 2B lanes are difficulty-sorted TOGETHER:
+
+      - a read whose breaks are all on one side leaves the other lane
+        inactive (sorted to the front, never walked),
+      - the worst lane's round count is the per-DIRECTION break count,
+        not the whole-read count — the while-loop tail shrinks ~2x on
+        junk-heavy chunks,
+      - scheduling granularity doubles for free.
+
+    The chunk loop runs as a dynamic-bound fori (walk body compiled
+    once; all-inactive chunks never execute — key 0 sorts them first;
+    a lax.cond skip per chunk was tried and REGRESSED ~40% on v5e).
+    Permutations run on the MXU (one-hot matmuls: TPU row gathers
+    serialize); lanes pack ONCE on the sorted work rows; the initial
+    all-window query is every lane's effective trust — no re-query.
+    Requires B % chunk == 0 and 2B % chunk == 0 (the resident pipeline
+    pads batches).  Bit-identical to infer_errors_batch (tests).
+
+    use_pallas routes per-chunk walks through the Pallas round kernel,
+    which takes a STATIC tie-break direction — that path keeps
+    read-level lanes (both directions inside infer_errors_batch).
     """
     B, L = codes.shape
     if B <= chunk:
@@ -530,35 +566,89 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     hi, lo, valid = canonical_kmers_batch(codes, k)
     tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
     n = tr.shape[1]
-    nbreaks = jnp.sum(valid & ~tr, axis=1)
-    # INACTIVE reads (all-trusted, anchor-less, or windowless) get sort
-    # key 0 so they cluster at the FRONT; the walk yields exactly-zero
-    # err for them, so the chunk loop below starts at the first chunk
-    # containing any active read — on E.-coli-like data ~85% of chunks
-    # are all-inactive and their walk bodies never execute.  (A lax.cond
-    # skip per chunk was tried instead and REGRESSED pass 3 ~40% on
-    # v5e; a dynamic fori_loop lower bound costs nothing.)
-    active0 = tr.any(1) & (valid & ~tr).any(1)
-    key = jnp.where(active0, nbreaks + 1, 0)
+
+    if use_pallas:
+        nbreaks = jnp.sum(valid & ~tr, axis=1)
+        active0 = tr.any(1) & (valid & ~tr).any(1)
+        key = jnp.where(active0, nbreaks + 1, 0)
+        order = jnp.argsort(key)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+        onehot = (col == order[:, None]).astype(jnp.bfloat16)
+        sc = _permute_rows_mxu(onehot, codes)
+        st = _permute_rows_mxu(onehot, tr)
+        lanes_s = kmer_lanes_batch(sc, k)
+        nc = B // chunk
+        i0 = (B - jnp.sum(active0.astype(jnp.int32))) // chunk
+
+        def chunk_body(i, err_acc):
+            s = i * chunk
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, chunk, 0)
+            e = infer_errors_batch(rows, sl(sc), k, num_hashes, ext_cap,
+                                   use_pallas, trusted0=sl(st),
+                                   lanes=tuple(sl(a) for a in lanes_s))
+            return jax.lax.dynamic_update_slice_in_dim(err_acc, e, s, 0)
+
+        err_sorted = jax.lax.fori_loop(
+            i0, nc, chunk_body, jnp.zeros((B, L), bool))
+        return _permute_rows_mxu(onehot.T, err_sorted)
+
+    B2 = 2 * B
+    assert B2 % chunk == 0
+    a, b, has_anchor = _longest_run_anchors(tr)
+    active = valid.any(1) & ~jnp.all(tr | ~valid, 1) & has_anchor
+
+    rc_codes = _complement(codes)[:, ::-1]
+    tr_rc = tr[:, ::-1]
+    valid_rc = valid[:, ::-1]
+    j0_f = _next_break(tr, valid, jnp.where(active, b + 1, n), n)
+    j0_r = _next_break(tr_rc, valid_rc, jnp.where(active, n - a, n), n)
+
+    work2 = jnp.concatenate([codes, rc_codes], 0)           # [2B, L]
+    teff2 = jnp.concatenate([tr, tr_rc], 0)
+    valid2 = jnp.concatenate([valid, valid_rc], 0)
+    j02 = jnp.concatenate([j0_f, j0_r], 0)
+    rev2 = jnp.concatenate([jnp.zeros(B, bool), jnp.ones(B, bool)], 0)
+
+    iota_n = jax.lax.broadcasted_iota(_i32, (B2, n), 1)
+    nb2 = jnp.sum(valid2 & ~teff2 & (iota_n >= j02[:, None]), 1)
+    lane_on = j02 < n
+    key = jnp.where(lane_on, nb2 + 1, 0)
     order = jnp.argsort(key)
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B2, B2), 1)
     onehot = (col == order[:, None]).astype(jnp.bfloat16)
-    sc = _permute_rows_mxu(onehot, codes)
-    st = _permute_rows_mxu(onehot, tr)
-    # lanes for ALL chunks in one vectorized pack over the sorted batch
-    lanes_s = kmer_lanes_batch(sc, k)
-    nc = B // chunk
-    i0 = (B - jnp.sum(active0.astype(jnp.int32))) // chunk
+    sw = _permute_rows_mxu(onehot, work2)       # int8 codes: bf16-exact
+    st2 = _permute_rows_mxu(onehot, teff2)
+    sj = jnp.take(j02, order)                   # [2B] tiny gather
+    srev = jnp.take(rev2, order)
+    lanes_s = kmer_lanes_batch(sw, k)           # one pack, all chunks
+    nc = B2 // chunk
+    i0 = (B2 - jnp.sum(lane_on.astype(jnp.int32))) // chunk
+
+    zpad = jnp.zeros((chunk, k), dtype=_u32)
+    vpad = jnp.zeros((chunk, k), dtype=bool)
+    tail = jnp.full((chunk, 2 * k), 4, dtype=jnp.int8)
 
     def chunk_body(i, err_acc):
         s = i * chunk
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, s, chunk, 0)
-        e = infer_errors_batch(rows, sl(sc), k, num_hashes, ext_cap,
-                               use_pallas, trusted0=sl(st),
-                               lanes=tuple(sl(a) for a in lanes_s))
+        sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, s, chunk, 0)
+        fhi, flo, rhi, rlo, vv = (sl(x) for x in lanes_s)
+        lanes = (jnp.concatenate([fhi, zpad], 1),
+                 jnp.concatenate([flo, zpad], 1),
+                 jnp.concatenate([rhi, zpad], 1),
+                 jnp.concatenate([rlo, zpad], 1),
+                 jnp.concatenate([vv, vpad], 1))
+        work = jnp.concatenate([sl(sw), tail], 1)
+        err = jnp.zeros((chunk, L), dtype=bool)
+        qf = lambda chi, clo: bloom_query_rows(rows, chi, clo,
+                                               num_hashes)
+        _, _, _, e = _walk_rounds(qf, work, lanes, sl(st2), err, sl(sj),
+                                  k, n, L, rev_ties=sl(srev),
+                                  ext_cap=ext_cap)
         return jax.lax.dynamic_update_slice_in_dim(err_acc, e, s, 0)
 
     err_sorted = jax.lax.fori_loop(
-        i0, nc, chunk_body, jnp.zeros((B, L), bool))
-    # inverse permutation: out[order[i]] = err_sorted[i] == onehot^T
-    return _permute_rows_mxu(onehot.T, err_sorted)
+        i0, nc, chunk_body, jnp.zeros((B2, L), bool))
+    # inverse permutation, then fold the RC half back (errors are
+    # per-BASE: RC lane position p is original position L-1-p)
+    err2 = _permute_rows_mxu(onehot.T, err_sorted)
+    return err2[:B] | err2[B:, ::-1]
