@@ -23,30 +23,42 @@ from .kmers import kmer_hashes
 _u32 = jnp.uint32
 
 
-def probe_positions(hi: jax.Array, lo: jax.Array, num_hashes: int,
-                    log2_m: int) -> jax.Array:
-    """uint32 [..., num_hashes] slot indices (oracle: probe_positions)."""
-    h1, h2 = kmer_hashes(hi, lo)
-    block = h1 & _u32((1 << (log2_m - 5)) - 1)
+def hash_offsets(h2: jax.Array, num_hashes: int) -> jax.Array:
+    """int32 [..., h] in-word bit offsets from the second hash (D3)."""
     s = (jax.lax.broadcasted_iota(_u32, (num_hashes,), 0) * _u32(5)) \
         & _u32(31)
     rot = (h2[..., None] >> s) | (h2[..., None] << ((_u32(32) - s)
                                                     & _u32(31)))
-    off = rot & _u32(31)
+    return (rot & _u32(31)).astype(jnp.int32)
+
+
+def probe_positions_h(h1: jax.Array, h2: jax.Array, num_hashes: int,
+                      log2_m: int) -> jax.Array:
+    """probe_positions from precomputed (h1, h2) hashes."""
+    block = h1 & _u32((1 << (log2_m - 5)) - 1)
+    off = hash_offsets(h2, num_hashes).astype(_u32)
     return (block[..., None] << _u32(5)) | off
+
+
+def probe_positions(hi: jax.Array, lo: jax.Array, num_hashes: int,
+                    log2_m: int) -> jax.Array:
+    """uint32 [..., num_hashes] slot indices (oracle: probe_positions)."""
+    h1, h2 = kmer_hashes(hi, lo)
+    return probe_positions_h(h1, h2, num_hashes, log2_m)
+
+
+def block_and_offsets_h(h1: jax.Array, h2: jax.Array, num_hashes: int,
+                        log2_m: int):
+    """(block [...], off [..., h]) from precomputed (h1, h2) hashes."""
+    block = (h1 & _u32((1 << (log2_m - 5)) - 1)).astype(jnp.int32)
+    return block, hash_offsets(h2, num_hashes)
 
 
 def block_and_offsets(hi: jax.Array, lo: jax.Array, num_hashes: int,
                       log2_m: int):
     """(block [...], off [..., h]) for row-wise queries."""
     h1, h2 = kmer_hashes(hi, lo)
-    block = (h1 & _u32((1 << (log2_m - 5)) - 1)).astype(jnp.int32)
-    s = (jax.lax.broadcasted_iota(_u32, (num_hashes,), 0) * _u32(5)) \
-        & _u32(31)
-    rot = (h2[..., None] >> s) | (h2[..., None] << ((_u32(32) - s)
-                                                    & _u32(31)))
-    off = (rot & _u32(31)).astype(jnp.int32)
-    return block, off
+    return block_and_offsets_h(h1, h2, num_hashes, log2_m)
 
 
 def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,

@@ -16,9 +16,19 @@ BLOCK space is sharded across the mesh instead of replicated:
 
 Output is bit-identical to the single-chip pipeline (tests assert it):
 all arithmetic is the same integer math, only the filter's location
-changes.  Bandwidth note: all-gather costs (batch k-mer stream x D) over
-ICI; an all_to_all routing layer would cut this by D and is the next
-optimization if config-4 benchmarks demand it.
+changes.
+
+Bandwidth: the BATCH-level streams (pass-1/2 inserts, pass-2 trusted
+query, pass-3 initial all-window query) ride an ALL_TO_ALL bucket
+exchange — each k-mer travels only to the shard that owns its block, so
+per-device ICI traffic is O(stream/D) instead of the all-gather's
+O(stream).  Buckets have a fixed capacity (1.5x the uniform-hash mean;
+hash-uniform bucket sizes concentrate far below it); if any device's
+bucket ever overflows, a globally-agreed lax.cond falls back to the
+all-gather path for that step, so output bits never depend on the
+routing choice.  The tiny in-round walk queries (W words per active
+lane) keep the all-gather+psum form — at their size the exchange's
+pack/unpack overhead costs more than the gather.
 """
 
 from __future__ import annotations
@@ -64,18 +74,65 @@ def _local_insert(slots_local, hi, lo, mask, num_hashes, log2_m, lo_slot,
     return slots_local.at[local.reshape(-1)].set(jnp.uint8(1), mode="drop")
 
 
+# bucket capacity = CAP_SLACK x the uniform-hash mean (+pad); hash-
+# uniform bucket sizes concentrate tightly below this, and an overflow
+# (adversarial input) falls back to the all-gather path via a
+# globally-agreed lax.cond — output bits never depend on the route.
+# Module-level so tests can force the overflow path.
+CAP_SLACK = 1.5
+_CAP_PAD = 256
+
+
 def build_steps(mesh: Mesh, k: int, num_hashes: int, log2_m_a: int,
                 log2_m_b: int, trust_threshold: int | None = None,
                 ext_cap: int | None = None):
     D = mesh.devices.size
+    from ..ops.bloom import block_and_offsets_h, probe_positions_h
+    from ..ops.kmers import kmer_hashes
+    _u32 = jnp.uint32
 
     def my_range(log2_m):
         shard = (1 << log2_m) // D
         d = jax.lax.axis_index(R)
         return d * shard, (d + 1) * shard
 
-    def collective_query(packed_local, hi, lo, log2_m):
-        """hi/lo are the LOCAL batch rows; returns local hits."""
+    def _route(h1, h2, mask, log2_m):
+        """all_to_all bucket exchange of the flat (h1, h2) stream.
+
+        Each masked-in entry travels ONLY to the device owning its
+        block (contiguous word ranges): per-device ICI traffic is
+        O(stream/D) vs the all-gather's O(stream).  Fixed bucket
+        capacity C (static shape); returns received entries, the
+        requester-side answer slots, and the global no-overflow flag.
+        """
+        N = h1.shape[0]
+        M32 = (1 << log2_m) // 32
+        shard_words = M32 // D
+        C = min(int(np.ceil(N / D * CAP_SLACK)) + _CAP_PAD, N)
+        owner = ((h1 & _u32(M32 - 1)) //
+                 _u32(shard_words)).astype(jnp.int32)
+        owner = jnp.where(mask, owner, jnp.int32(D))   # drop bucket
+        # rank within bucket: D vectorized cumsums (D is small)
+        rank = jnp.zeros(N, jnp.int32)
+        cnt_max = jnp.int32(0)
+        for d in range(D):
+            is_d = owner == d
+            cs = jnp.cumsum(is_d.astype(jnp.int32))
+            rank = jnp.where(is_d, cs, rank)           # 1-based
+            cnt_max = jnp.maximum(cnt_max, cs[-1])
+        ok_global = jax.lax.psum(
+            (cnt_max > C).astype(jnp.int32), R) == 0
+        slot = jnp.where(mask & (rank <= C), owner * C + rank - 1,
+                         jnp.int32(D * C))             # D*C -> dropped
+        payload = jnp.stack([h1, h2, jnp.ones_like(h1)], 1)
+        send = jnp.zeros((D * C, 3), _u32).at[slot].set(
+            payload, mode="drop")
+        recv = jax.lax.all_to_all(
+            send.reshape(D, C, 3), R, 0, 0).reshape(D * C, 3)
+        return recv[:, 0], recv[:, 1], recv[:, 2] > 0, slot, ok_global, C
+
+    def _gather_query(packed_local, hi, lo, log2_m):
+        """all-gather + psum collective membership (fallback path)."""
         Bd = hi.shape[0]
         ghi = jax.lax.all_gather(hi, R, tiled=True)
         glo = jax.lax.all_gather(lo, R, tiled=True)
@@ -94,32 +151,85 @@ def build_steps(mesh: Mesh, k: int, num_hashes: int, log2_m_a: int,
         d_idx = jax.lax.axis_index(R)
         return jax.lax.dynamic_slice_in_dim(hits, d_idx * Bd, Bd, axis=0)
 
+    def _owner_hits(packed_local, rh1, rh2, log2_m):
+        """Membership of routed entries against MY shard of the filter."""
+        shard_words = (1 << log2_m) // 32 // D
+        d = jax.lax.axis_index(R)
+        block, off = block_and_offsets_h(rh1, rh2, num_hashes, log2_m)
+        local_block = block - d * shard_words
+        word = packed_local[
+            jnp.clip(local_block, 0, shard_words - 1)]
+        bits = (word[..., None] >> off.astype(_u32)) & _u32(1)
+        # routed entries are in-range by construction; garbage slots
+        # return garbage that the requester never reads
+        return jnp.min(bits, axis=-1) > 0
+
+    def collective_query(packed_local, hi, lo, log2_m, valid=None):
+        """Batch-level collective membership: bucket-exchange fast
+        path, all-gather fallback on (globally-agreed) overflow.
+        valid masks entries worth routing; unrouted answer False."""
+        shape = hi.shape
+        h1, h2 = kmer_hashes(hi, lo)
+        maskf = (valid.reshape(-1) if valid is not None
+                 else jnp.ones((h1.size,), bool))
+        rh1, rh2, _, slot, ok_global, C = _route(
+            h1.reshape(-1), h2.reshape(-1), maskf, log2_m)
+
+        def fast(_):
+            hit = _owner_hits(packed_local, rh1, rh2, log2_m)
+            back = jax.lax.all_to_all(
+                hit.astype(_u32).reshape(D, C), R, 0, 0).reshape(-1)
+            backp = jnp.concatenate([back, jnp.zeros((1,), _u32)])
+            ans = backp[jnp.minimum(slot, D * C)]
+            return (ans > 0).reshape(shape)
+
+        def slow(_):
+            return _gather_query(packed_local, hi, lo, log2_m)
+
+        return jax.lax.cond(ok_global, fast, slow, None)
+
+    def routed_insert(slots_local, hi, lo, mask, log2_m):
+        """Insert masked k-mers into the sharded byte staging array via
+        the bucket exchange; all-gather fallback on overflow."""
+        h1, h2 = kmer_hashes(hi, lo)
+        rh1, rh2, rok, _, ok_global, _ = _route(
+            h1.reshape(-1), h2.reshape(-1), mask.reshape(-1), log2_m)
+        lo_s, hi_s = my_range(log2_m)
+
+        def fast(sl):
+            pos = probe_positions_h(rh1, rh2, num_hashes,
+                                    log2_m).astype(jnp.int32)
+            mine = rok[:, None] & (pos >= lo_s) & (pos < hi_s)
+            local = jnp.where(mine, pos - lo_s, hi_s - lo_s)
+            local = jax.lax.optimization_barrier(local.reshape(-1))
+            return sl.at[local].set(jnp.uint8(1), mode="drop")
+
+        def slow(sl):
+            ghi = jax.lax.all_gather(hi, R, tiled=True)
+            glo = jax.lax.all_gather(lo, R, tiled=True)
+            gmask = jax.lax.all_gather(mask, R, tiled=True)
+            return _local_insert(sl, ghi, glo, gmask, num_hashes,
+                                 log2_m, lo_s, hi_s)
+
+        return jax.lax.cond(ok_global, fast, slow, slots_local)
+
     @functools.partial(jax.jit, donate_argnums=(0,))
     @_shmap(mesh, in_specs=(P(R), P(R, None), P(R), P()),
             out_specs=P(R))
     def step_sample(slots_local, codes, read_ids, threshold):
         hi, lo, valid = canonical_kmers_batch(codes, k)
         keep = valid & sample_keep_mask(read_ids, hi.shape[1], threshold)
-        ghi = jax.lax.all_gather(hi, R, tiled=True)
-        glo = jax.lax.all_gather(lo, R, tiled=True)
-        gkeep = jax.lax.all_gather(keep, R, tiled=True)
-        lo_s, hi_s = my_range(log2_m_a)
-        return _local_insert(slots_local, ghi, glo, gkeep, num_hashes,
-                             log2_m_a, lo_s, hi_s)
+        return routed_insert(slots_local, hi, lo, keep, log2_m_a)
 
     @functools.partial(jax.jit, donate_argnums=(1,))
     @_shmap(mesh, in_specs=(P(R), P(R), P(R, None), P()),
             out_specs=P(R))
     def step_trusted(packed_a_local, slots_b_local, codes, t_table):
         hi, lo, valid = canonical_kmers_batch(codes, k)
-        hits = collective_query(packed_a_local, hi, lo, log2_m_a) & valid
+        hits = collective_query(packed_a_local, hi, lo, log2_m_a,
+                                valid) & valid
         tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
-        ghi = jax.lax.all_gather(hi, R, tiled=True)
-        glo = jax.lax.all_gather(lo, R, tiled=True)
-        gtr = jax.lax.all_gather(tr, R, tiled=True)
-        lo_s, hi_s = my_range(log2_m_b)
-        return _local_insert(slots_b_local, ghi, glo, gtr, num_hashes,
-                             log2_m_b, lo_s, hi_s)
+        return routed_insert(slots_b_local, hi, lo, tr, log2_m_b)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     @_shmap(mesh, in_specs=(P(R),), out_specs=P(R))
@@ -136,12 +246,17 @@ def build_steps(mesh: Mesh, k: int, num_hashes: int, log2_m_a: int,
             out_specs=cov_spec)
     def step_covariates(packed_b_local, cov_dm, codes, quals, mask, rgs,
                         seconds):
-        qf = lambda hi, lo: collective_query(packed_b_local, hi, lo,
-                                             log2_m_b)
+        # the big all-window initial query rides the bucket exchange;
+        # the small in-round walk queries keep all-gather + psum
+        hi, lo, valid = canonical_kmers_batch(codes, k)
+        trusted0 = collective_query(packed_b_local, hi, lo, log2_m_b,
+                                    valid) & valid
+        qf = lambda qhi, qlo: _gather_query(packed_b_local, qhi, qlo,
+                                            log2_m_b)
         gany = lambda x: jax.lax.psum(
             jnp.any(x).astype(jnp.int32), R) > 0
         errors = infer_errors_core(qf, codes, k, reduce_any=gany,
-                                   ext_cap=ext_cap)
+                                   ext_cap=ext_cap, trusted0=trusted0)
         local = {kk: v[0] for kk, v in cov_dm.items()}
         out = accumulate_covariates(local, codes, quals, mask, rgs,
                                     seconds, errors)

@@ -54,6 +54,19 @@ def test_sharded_bloom_matches_single_chip(arrays, single_chip_quals, ndev):
     assert (got == single_chip_quals).all()
 
 
+def test_sharded_bloom_overflow_fallback(arrays, single_chip_quals,
+                                         monkeypatch):
+    """Forcing the bucket-exchange capacity to overflow must route every
+    step through the all-gather fallback with identical output bits."""
+    from kbbq_tpu.parallel import sharded_bloom as sb
+    monkeypatch.setattr(sb, "CAP_SLACK", 1e-6)
+    monkeypatch.setattr(sb, "_CAP_PAD", 1)
+    mesh = make_mesh(4)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    got = sb.sharded_bloom_recalibrate_arrays(arrays, cfg, mesh=mesh)
+    assert (got == single_chip_quals).all()
+
+
 @pytest.mark.parametrize("layout", ["replicated", "sharded", "auto"])
 def test_run_pipeline_dispatch(arrays, single_chip_quals, layout):
     """The CLI-reachable dispatcher routes --devices to the sharded
