@@ -161,6 +161,31 @@ def bloom_rows_dense(block: jax.Array, w: jax.Array, mask: jax.Array,
     bs, ws = jax.lax.sort(
         (jnp.where(mask, block, _u32(M)),
          jnp.where(mask, w, _u32(0))), num_keys=1)
+    return _rows_from_sorted(bs, ws, M)
+
+
+def bloom_rows_dense_prefixed(block: jax.Array, w: jax.Array,
+                              mask: jax.Array, log2_m: int,
+                              prefix: int):
+    """bloom_rows_dense where at most `prefix` entries are expected to
+    be masked-in (e.g. pass-1's alpha-sampled slots): the OR-scan,
+    compaction sort, and scatter run on the sorted prefix only —
+    ~1/alpha x less work after the first sort.  Returns (rows,
+    kept_count); the result is only valid when kept_count <= prefix
+    (sort puts masked-in entries first), so the CALLER must check and
+    fall back to bloom_rows_dense on overflow.
+    """
+    M = 1 << (log2_m - 5)
+    bs, ws = jax.lax.sort(
+        (jnp.where(mask, block, _u32(M)),
+         jnp.where(mask, w, _u32(0))), num_keys=1)
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    P = min(max(prefix, 1), bs.shape[0])
+    return _rows_from_sorted(bs[:P], ws[:P], M), cnt
+
+
+def _rows_from_sorted(bs: jax.Array, ws: jax.Array, M: int) -> jax.Array:
+    """Packed rows from block-sorted (bs, ws) pairs (sentinel M last)."""
     n = bs.shape[0]
     # segmented inclusive OR-scan, manual Hillis-Steele (log2 n static
     # shifts; lax.associative_scan's recursive build did not finish

@@ -42,6 +42,12 @@ from .recalibrate import RecalConfig
 # E. coli-full is ~1.6 GB).  Larger datasets use the scatter scan path.
 DENSE_BUILD_BUDGET = 3 << 30
 
+# pass-1 sampled-prefix bound: P = Ns * alpha * SLACK + PAD per slice
+# (counter-hash Bernoulli keeps concentrate far below it; overflow falls
+# back to the uncompacted build — module-level so tests can force it)
+SAMPLE_PREFIX_SLACK = 1.25
+_SAMPLE_PREFIX_PAD = 4096
+
 
 def _pack_quarters(codes: np.ndarray) -> np.ndarray:
     """2-bit-pack a [N, L] code array into [N, ceil(L/4)] bytes.
@@ -300,10 +306,19 @@ def _pass1_kmers_slice(codes, ids, threshold, *, k, num_hashes,
     return blks.reshape(-1), ws.reshape(-1), keeps.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("log2_m",))
-def _dense_finish(blks, ws, keeps, *, log2_m):
-    return bloom_rows_dense(jnp.concatenate(blks), jnp.concatenate(ws),
-                            jnp.concatenate(keeps), log2_m)
+@functools.partial(jax.jit, static_argnames=("log2_m", "prefix"))
+def _dense_finish(blks, ws, keeps, *, log2_m, prefix=None):
+    """Global dense build; with `prefix` (pass 1: only ~alpha of slots
+    are sampled) the post-sort stages run on the sampled prefix only —
+    returns (rows, kept_count) and the CALLER must verify kept_count
+    <= prefix (fall back to the unprefixed build otherwise)."""
+    blk = jnp.concatenate(blks)
+    w = jnp.concatenate(ws)
+    keep = jnp.concatenate(keeps)
+    if prefix is None:
+        return bloom_rows_dense(blk, w, keep, log2_m)
+    from ..ops.bloom import bloom_rows_dense_prefixed
+    return bloom_rows_dense_prefixed(blk, w, keep, log2_m, prefix)
 
 
 @functools.partial(jax.jit,
@@ -486,14 +501,24 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     _mark("h2d")
 
     if dense:
-        rows_a = _dense_finish(tuple(p[0] for p in kmer_parts),
-                               tuple(p[1] for p in kmer_parts),
-                               tuple(p[2] for p in kmer_parts),
-                               log2_m=la)
+        parts = (tuple(p[0] for p in kmer_parts),
+                 tuple(p[1] for p in kmer_parts),
+                 tuple(p[2] for p in kmer_parts))
+        Ns = sum(p[0].shape[0] for p in kmer_parts)
+        P = min(Ns, int(Ns * alpha * SAMPLE_PREFIX_SLACK)
+                + _SAMPLE_PREFIX_PAD)
+        rows_a, cnt = _dense_finish(*parts, log2_m=la, prefix=P)
     else:
-        rows_a = bloom_rows(slots)
+        rows_a, cnt, P = bloom_rows(slots), None, 0
     jax.block_until_ready(rows_a)  # pass-boundary sync (KNOWN_ISSUES #6)
     _mark("pass1")
+    # sampled-prefix overflow check (adversarial input only): the count
+    # is read AFTER the pass-1 block — a mid-chain int() d2h stalled the
+    # build by ~1 s through the relay — and on overflow the filter is
+    # rebuilt unprefixed (same bits, slower)
+    if cnt is not None and int(cnt) > P:
+        rows_a = _dense_finish(*parts, log2_m=la)
+        jax.block_until_ready(rows_a)
     if dense:
         rows_b = _pass2_dense(rows_a, codes, t_table, k=k, num_hashes=h,
                               trust_threshold=config.trust_threshold,

@@ -30,6 +30,18 @@ def test_resident_matches_batched_bitforbit(arrays):
     assert (got == want).all()
 
 
+def test_resident_sample_prefix_overflow_fallback(arrays, monkeypatch):
+    """Forcing the pass-1 sampled-prefix bound to overflow must rebuild
+    from the uncompacted triples with identical output bits."""
+    from kbbq_tpu.pipeline import resident as res
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=64)
+    want = recalibrate_arrays(arrays, cfg)
+    monkeypatch.setattr(res, "SAMPLE_PREFIX_SLACK", 1e-6)
+    monkeypatch.setattr(res, "_SAMPLE_PREFIX_PAD", 1)
+    got = recalibrate_arrays_resident(arrays, cfg)
+    assert (got == want).all()
+
+
 def test_resident_batch_size_invariance(arrays):
     cfg_a = RecalConfig(k=16, coverage=25.0, batch_size=32)
     cfg_b = RecalConfig(k=16, coverage=25.0, batch_size=128)
