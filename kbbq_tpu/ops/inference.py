@@ -123,7 +123,8 @@ def _next_break(teff, valid, x, n):
 
 
 def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
-                 rev_ties, reduce_any=jnp.any, ext_cap=None):
+                 rev_ties, reduce_any=jnp.any, ext_cap=None,
+                 skip_cols: int = 0):
     """All rounds of one directional walk on full-batch state.
 
     work: int8 [B, L+2k]; lanes: 4x uint32 [B, n+k] + valid bool [B, n+k];
@@ -134,6 +135,24 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     mutable state lives STACKED as one [8B, n+k] uint32 array — 4 lane
     word planes, effective trust, valid, err, and the working sequence —
     kept PRE-ROLLED so each row's cursor window sits at column 0:
+
+    skip_cols > 0 enables SPECULATIVE SKIP-RUNS: a break whose 3
+    substitution candidates all fail their FIRST-window query has
+    best_ext = 0 by definition (ext is a leading-true count), so its
+    round is provably non-committing — it changes no lane, trust, or
+    sequence state, only marks the error and advances the cursor by 1.
+    Runs of consecutive such breaks are therefore exactly the untrusted
+    valid windows after the cursor, and one round can mark and skip the
+    whole run: each round additionally pre-screens the first-window
+    candidates of the next `skip_cols` columns (3 probes/column — the
+    first window of the break at column c is column c itself, patched at
+    lane bit 0 fwd / 2(k-1) rc), then, on non-commit rows, jumps the
+    cursor to the first pre-screen-PASSING break (everything before it
+    is marked in one shot via a static (k-1)-column shift of the run
+    mask — the error base of window c is base c+k-1).  A passing break
+    commits in its own full round next (first window trusted == ext>=1).
+    Output bits are identical; error-dense reads whose breaks rarely
+    commit collapse from one round per break to one per skip_cols.
 
       - window take = a static [:, :k] slice (free),
       - put-back = a lane concatenate over the first k columns (free),
@@ -302,6 +321,42 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         brk = (validp > 0) & (teffp == 0) & \
             (c_iota >= adv[:, None]) & (c_iota < (n - jc)[:, None])
         rel = jnp.min(jnp.where(brk, c_iota, nk), axis=1)
+
+        if skip_cols:
+            # speculative skip-run (docstring): pre-screen the 3
+            # first-window candidates of the next C columns.  On
+            # NON-commit rows brk is the old-trust break mask (te_new ==
+            # old_te there) and adv == 1, i.e. exactly the breaks the
+            # sequential walk would visit with unchanged state — mark
+            # every pre-screen-failing break up to the first passing
+            # one and jump the cursor there.  Commit rows keep `rel`.
+            C = min(skip_cols, nk - k + 1)
+            s_fhi, s_flo = planes[:B, :C], planes[B:2 * B, :C]
+            s_rhi, s_rlo = planes[2 * B:3 * B, :C], planes[3 * B:4 * B, :C]
+            origs = planes[7 * B:, k - 1:k - 1 + C].astype(_i32)
+            cs3 = c3_iota[None, None, :] + \
+                (c3_iota[None, None, :] >= origs[:, :, None]).astype(_i32)
+            cv = cs3.astype(_u32)
+            p_fhi, p_flo = _patch_lanes(s_fhi[:, :, None],
+                                        s_flo[:, :, None],
+                                        jnp.int32(0), cv)
+            p_rhi, p_rlo = _patch_lanes(s_rhi[:, :, None],
+                                        s_rlo[:, :, None],
+                                        jnp.int32(2 * (k - 1)),
+                                        _u32(3) - cv)
+            shi, slo = canonical_from_lanes(p_fhi, p_flo, p_rhi, p_rlo)
+            may_commit = jnp.any(query_fn(shi, slo), axis=-1)   # [B, C]
+            # columns beyond the pre-screen window always stop the run
+            stop = jnp.concatenate(
+                [may_commit, jnp.ones((B, nk - C), bool)], 1)
+            rel_run = jnp.min(jnp.where(brk & stop, c_iota, nk), axis=1)
+            run_on = active & ~commit
+            runm = brk & (c_iota < rel_run[:, None]) & run_on[:, None]
+            rel = jnp.where(run_on, rel_run, rel)
+            # marks: window col c's error base is col c+k-1 (static shift)
+            err_pl = err_pl | jnp.concatenate(
+                [jnp.zeros((B, k - 1), _u32),
+                 runm[:, :nk - k + 1].astype(_u32)], 1)
         j_next = jnp.where(active, jnp.minimum(jc + rel, n), n)
 
         delta = jnp.minimum(j_next, n - 1) - jc
@@ -475,6 +530,19 @@ def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
 # balances per-round op cost against difficulty-grouping granularity
 WALK_CHUNK = 128
 
+# speculative skip-run pre-screen width (columns ahead of the cursor
+# whose candidate first-windows are queried each hard-engine round):
+# 3*C extra probes/lane/round vs up-to-C breaks skipped per round.
+# KBBQ_SKIP_COLS / KBBQ_SKIP_HARD_T env overrides exist for on-chip
+# sweeps (both are static compile-time constants).
+import os as _os
+
+SKIP_COLS = int(_os.environ.get("KBBQ_SKIP_COLS", "64"))
+# hard-tail routing threshold: lanes with more than this many initially-
+# untrusted windows after the cursor run the skip-run engine; -1 means
+# derive min(3k, n-1) at call time, 0 routes EVERY active chunk there
+SKIP_HARD_T = int(_os.environ.get("KBBQ_SKIP_HARD_T", "-1"))
+
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
                          chunk: int = WALK_CHUNK, ext_cap=None,
@@ -628,7 +696,7 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     vpad = jnp.zeros((chunk, k), dtype=bool)
     tail = jnp.full((chunk, 2 * k), 4, dtype=jnp.int8)
 
-    def chunk_body(i, err_acc):
+    def chunk_body(i, err_acc, skip_cols=0):
         s = i * chunk
         sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, s, chunk, 0)
         fhi, flo, rhi, rlo, vv = (sl(x) for x in lanes_s)
@@ -643,11 +711,26 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
                                                num_hashes)
         _, _, _, e = _walk_rounds(qf, work, lanes, sl(st2), err, sl(sj),
                                   k, n, L, rev_ties=sl(srev),
-                                  ext_cap=ext_cap)
+                                  ext_cap=ext_cap, skip_cols=skip_cols)
         return jax.lax.dynamic_update_slice_in_dim(err_acc, e, s, 0)
 
+    # hard-tail split: lanes whose remaining untrusted-window count is
+    # near-saturated (>= ~3k windows, i.e. >= ~3 error events in one
+    # direction) are the error-dense reads whose breaks rarely commit —
+    # their chunks run the speculative skip-run engine (one round per
+    # run of non-committing breaks instead of one per break), everything
+    # below the threshold keeps the plain engine and pays nothing.
+    # Chunks are sorted ascending by key, so the tail starts at the
+    # first chunk not entirely below the threshold.
+    hard_T = (min(3 * k, max(n - 1, 1)) if SKIP_HARD_T < 0
+              else SKIP_HARD_T)
+    n_easy = jnp.sum((key <= hard_T).astype(jnp.int32))
+    i1 = jnp.clip(n_easy // chunk, i0, nc)
     err_sorted = jax.lax.fori_loop(
-        i0, nc, chunk_body, jnp.zeros((B2, L), bool))
+        i0, i1, chunk_body, jnp.zeros((B2, L), bool))
+    err_sorted = jax.lax.fori_loop(
+        i1, nc, functools.partial(chunk_body, skip_cols=SKIP_COLS),
+        err_sorted)
     # inverse permutation, then fold the RC half back (errors are
     # per-BASE: RC lane position p is original position L-1-p)
     err2 = _permute_rows_mxu(onehot.T, err_sorted)

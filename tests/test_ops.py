@@ -214,6 +214,52 @@ def test_infer_errors_chunked_matches_plain():
     assert not got.any()
 
 
+def test_infer_errors_scheduled_skip_run_engine():
+    """The hard-tail skip-run engine must be bit-identical.
+
+    Adversarial shape that forces it: reads with a trusted anchor
+    followed by a long junk tail — every tail window is an active,
+    non-committing break (candidates fail), so the lane's untrusted
+    count saturates past the hard threshold and the chunk routes to
+    the speculative engine (ops/inference.py::_walk_rounds skip_cols).
+    Mixed with clean and lightly-errored reads so both fori loops run.
+    """
+    from kbbq_tpu.ops.inference import infer_errors_scheduled
+    k = 16
+    rng = np.random.default_rng(77)
+    genome = rng.integers(0, 4, size=4000).astype(np.int8)
+    L = 80
+    B = 64
+    reads = []
+    for i in range(B):
+        s = int(rng.integers(0, genome.size - L))
+        r = genome[s:s + L].copy()
+        kind = i % 4
+        if kind == 1:      # junk tail: anchor k-mers + random right half
+            r[L // 2:] = rng.integers(0, 4, size=L - L // 2)
+        elif kind == 2:    # junk head: left half random
+            r[:L // 2] = rng.integers(0, 4, size=L // 2)
+        elif kind == 3:    # sparse real errors (committing breaks)
+            for p in rng.integers(k, L - 1, size=2):
+                r[p] = (r[p] + 1) % 4
+        reads.append(r)
+    codes = np.stack(reads)
+    # trusted filter = every genome k-mer (all anchor windows commitable)
+    b = OracleBloom(BloomParams.for_keys(genome.size, 20))
+    hi, lo, valid = okm.canonical_kmers(genome, k)
+    b.insert(hi, lo, mask=valid)
+    rows = bloom_rows(jnp.asarray(b.slots))
+    codes_j = jnp.asarray(codes)
+    h = b.params.num_hashes
+    plain = np.asarray(infer_errors_batch(rows, codes_j, k, h))
+    sch = np.asarray(infer_errors_scheduled(rows, codes_j, k, h, chunk=16))
+    assert (plain == sch).all()
+    # oracle agreement on the junk-heavy reads too
+    for i in range(B):
+        want = olight.infer_read_errors(codes[i], k, b)
+        assert (plain[i][:want.size] == want).all(), f"read {i}"
+
+
 def test_infer_errors_edge_shapes():
     """Pads, reads < k, all-N reads: no errors marked, no crashes."""
     k = 16
