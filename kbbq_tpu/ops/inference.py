@@ -531,17 +531,25 @@ def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
 WALK_CHUNK = 128
 
 # speculative skip-run pre-screen width (columns ahead of the cursor
-# whose candidate first-windows are queried each hard-engine round):
-# 3*C extra probes/lane/round vs up-to-C breaks skipped per round.
-# KBBQ_SKIP_COLS / KBBQ_SKIP_HARD_T env overrides exist for on-chip
-# sweeps (both are static compile-time constants).
+# whose candidate first-windows are queried each round): 3*C extra
+# serialized probes/lane/round (~2.7*C us at width 128) vs up-to-C
+# breaks skipped per round.  Default from the eager (wc, C) round-count
+# grid on bench-like data: C=16 minimizes rounds x round-cost (C=64
+# saves ~8% more rounds but its pre-screen gather costs 4 normal
+# rounds).  KBBQ_SKIP_COLS / KBBQ_SKIP_HARD_T env overrides exist for
+# on-chip sweeps (both are static compile-time constants).
 import os as _os
 
-SKIP_COLS = int(_os.environ.get("KBBQ_SKIP_COLS", "64"))
+SKIP_COLS = int(_os.environ.get("KBBQ_SKIP_COLS", "16"))
 # hard-tail routing threshold: lanes with more than this many initially-
 # untrusted windows after the cursor run the skip-run engine; -1 means
-# derive min(3k, n-1) at call time, 0 routes EVERY active chunk there
-SKIP_HARD_T = int(_os.environ.get("KBBQ_SKIP_HARD_T", "-1"))
+# derive min(3k, n-1) at call time, 0 routes EVERY active chunk there.
+# Default 0: the round-count census (20k bench-like reads) showed the
+# worst lanes sit at difficulty keys 65-96 — BELOW the 3k=96 heuristic —
+# and an instrumented eager run of this exact code counts 353 -> 48
+# rounds with skip-all at identical output bits, while the pre-screen's
+# extra probes never measured above noise on v5e.
+SKIP_HARD_T = int(_os.environ.get("KBBQ_SKIP_HARD_T", "0"))
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
