@@ -122,6 +122,26 @@ def _next_break(teff, valid, x, n):
     return jnp.min(jnp.where(mask, i, n), axis=1)
 
 
+def _stack_walk_state(work, lanes, teff, err, j0, k, n, L):
+    """Stack the 8 mutable walk planes into one pre-rolled [8B, n+k]
+    uint32 array (the _walk_loop layout below).  Shared by _walk_rounds
+    (per-call) and infer_errors_scheduled (ONCE per batch: per-chunk
+    stacking/rolling was ~half the walk wall time, device trace)."""
+    B = work.shape[0]
+    fhi, flo, rhi, rlo, valid = lanes
+    nk = valid.shape[1]                             # n + k
+
+    def pad_nk(a):
+        return jnp.concatenate(
+            [a.astype(_u32), jnp.zeros((B, nk - a.shape[1]), _u32)], 1)
+
+    st0 = jnp.concatenate(
+        [fhi, flo, rhi, rlo, pad_nk(teff), valid.astype(_u32),
+         pad_nk(err), pad_nk(work[:, :L])], 0)
+    jc0 = jnp.minimum(j0, n - 1)
+    return _roll_rows_left(st0, jnp.tile(jc0, 8))
+
+
 def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
                  rev_ties, reduce_any=jnp.any, ext_cap=None,
                  skip_cols: int = 0):
@@ -167,29 +187,38 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
     form spent ~40 us/round outside the probe gather; this halves the
     non-gather round body.
     """
+    st0 = _stack_walk_state(work, lanes, teff, err, j0, k, n, L)
+    valid = lanes[4]
+    B = work.shape[0]
+    planes = _walk_loop(query_fn, j0, st0, k=k, n=n, L=L,
+                        rev_ties=rev_ties, reduce_any=reduce_any,
+                        ext_cap=ext_cap, skip_cols=skip_cols)
+    # every row's cumulative roll is exactly n-1 at exit: static un-roll
+    pl = jnp.roll(planes, n - 1, axis=1)
+    teff_out = pl[4 * B:5 * B, :n] > 0
+    err_out = pl[6 * B:7 * B, :L] > 0
+    work_out = jnp.concatenate(
+        [pl[7 * B:, :L].astype(jnp.int8),
+         jnp.full((B, 2 * k), 4, dtype=jnp.int8)], 1)
+    return work_out, (pl[:B], pl[B:2 * B], pl[2 * B:3 * B],
+                      pl[3 * B:4 * B], valid), teff_out, err_out
+
+
+def _walk_loop(query_fn, j0, st0, *, k, n, L, rev_ties,
+               reduce_any=jnp.any, ext_cap=None, skip_cols: int = 0):
+    """The rounds while-loop over pre-stacked, pre-rolled walk state
+    (layout/documentation in _walk_rounds / _stack_walk_state); returns
+    the final planes [8B, n+k], still rolled by n-1 per row."""
     from ..constants import DEFAULT_EXT_CAP
     W = min(ext_cap if ext_cap is not None else DEFAULT_EXT_CAP, k)
     # trial-extension cap (D7; --ext-cap k = reference semantics)
-    B = work.shape[0]
-    fhi, flo, rhi, rlo, valid = lanes
-    nk = valid.shape[1]                             # n + k
+    B = st0.shape[0] // 8
+    nk = st0.shape[1]                               # n + k
     t_vec = jax.lax.broadcasted_iota(_i32, (1, k), 1)
     tw_vec = t_vec[:, :W]
     bit_f = (2 * t_vec)[None]                       # [1, 1, k]
     bit_r = (2 * (k - 1 - t_vec))[None]
     c3_iota = jnp.arange(3, dtype=_i32)
-
-    def pad_nk(a):
-        return jnp.concatenate(
-            [a.astype(_u32), jnp.zeros((B, nk - a.shape[1]), _u32)], 1)
-
-    # stacked mutable planes [8B, n+k]:
-    #   fhi | flo | rhi | rlo | teff | valid | err | work  (L = nk - 1)
-    st0 = jnp.concatenate(
-        [fhi, flo, rhi, rlo, pad_nk(teff), valid.astype(_u32),
-         pad_nk(err), pad_nk(work[:, :L])], 0)
-    jc0 = jnp.minimum(j0, n - 1)
-    st0 = _roll_rows_left(st0, jnp.tile(jc0, 8))
 
     def cond(st):
         # reduce_any must be GLOBAL when query_fn contains collectives
@@ -366,15 +395,7 @@ def _walk_rounds(query_fn, work, lanes, teff, err, j0, k, n, L,
         return (j_next, planes)
 
     _, planes = jax.lax.while_loop(cond, body, (j0, st0))
-    # every row's cumulative roll is exactly n-1 at exit: static un-roll
-    pl = jnp.roll(planes, n - 1, axis=1)
-    teff_out = pl[4 * B:5 * B, :n] > 0
-    err_out = pl[6 * B:7 * B, :L] > 0
-    work_out = jnp.concatenate(
-        [pl[7 * B:, :L].astype(jnp.int8),
-         jnp.full((B, 2 * k), 4, dtype=jnp.int8)], 1)
-    return work_out, (pl[:B], pl[B:2 * B], pl[2 * B:3 * B],
-                      pl[3 * B:4 * B], valid), teff_out, err_out
+    return planes
 
 
 def _walk_rounds_pl(rows, work, lanes, teff, err, j0, k, n, L,
@@ -700,27 +721,38 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     nc = B2 // chunk
     i0 = (B2 - jnp.sum(lane_on.astype(jnp.int32))) // chunk
 
-    zpad = jnp.zeros((chunk, k), dtype=_u32)
-    vpad = jnp.zeros((chunk, k), dtype=bool)
-    tail = jnp.full((chunk, 2 * k), 4, dtype=jnp.int8)
+    # ALL walk state stacks and pre-rolls ONCE at batch level ([8, 2B,
+    # n+k]); each chunk takes one dynamic_slice, runs only the rounds
+    # while-loop, and writes back only its (still-rolled) error plane —
+    # the per-chunk concats/rolls/unrolls were ~half the walk wall time
+    # (device trace, round 2).  One static batch-level roll restores
+    # error positions at the end (per-row cumulative roll is exactly
+    # n-1 when a lane finishes, see _walk_rounds).
+    nk = n + k
+    zpadB = jnp.zeros((B2, k), dtype=_u32)
+    fhi_s, flo_s, rhi_s, rlo_s, vv_s = lanes_s
+    lanes_p = (jnp.concatenate([fhi_s, zpadB], 1),
+               jnp.concatenate([flo_s, zpadB], 1),
+               jnp.concatenate([rhi_s, zpadB], 1),
+               jnp.concatenate([rlo_s, zpadB], 1),
+               jnp.concatenate([vv_s, zpadB.astype(bool)], 1))
+    st3 = _stack_walk_state(sw, lanes_p, st2,
+                            jnp.zeros((B2, L), bool), sj, k, n,
+                            L).reshape(8, B2, nk)
 
     def chunk_body(i, err_acc, skip_cols=0):
         s = i * chunk
-        sl = lambda arr: jax.lax.dynamic_slice_in_dim(arr, s, chunk, 0)
-        fhi, flo, rhi, rlo, vv = (sl(x) for x in lanes_s)
-        lanes = (jnp.concatenate([fhi, zpad], 1),
-                 jnp.concatenate([flo, zpad], 1),
-                 jnp.concatenate([rhi, zpad], 1),
-                 jnp.concatenate([rlo, zpad], 1),
-                 jnp.concatenate([vv, vpad], 1))
-        work = jnp.concatenate([sl(sw), tail], 1)
-        err = jnp.zeros((chunk, L), dtype=bool)
+        stc = jax.lax.dynamic_slice(
+            st3, (0, s, 0), (8, chunk, nk)).reshape(8 * chunk, nk)
         qf = lambda chi, clo: bloom_query_rows(rows, chi, clo,
                                                num_hashes)
-        _, _, _, e = _walk_rounds(qf, work, lanes, sl(st2), err, sl(sj),
-                                  k, n, L, rev_ties=sl(srev),
-                                  ext_cap=ext_cap, skip_cols=skip_cols)
-        return jax.lax.dynamic_update_slice_in_dim(err_acc, e, s, 0)
+        planes = _walk_loop(
+            qf, jax.lax.dynamic_slice_in_dim(sj, s, chunk, 0), stc,
+            k=k, n=n, L=L,
+            rev_ties=jax.lax.dynamic_slice_in_dim(srev, s, chunk, 0),
+            ext_cap=ext_cap, skip_cols=skip_cols)
+        return jax.lax.dynamic_update_slice_in_dim(
+            err_acc, planes[6 * chunk:7 * chunk], s, 0)
 
     # hard-tail split: lanes whose remaining untrusted-window count is
     # near-saturated (>= ~3k windows, i.e. >= ~3 error events in one
@@ -734,11 +766,12 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
               else SKIP_HARD_T)
     n_easy = jnp.sum((key <= hard_T).astype(jnp.int32))
     i1 = jnp.clip(n_easy // chunk, i0, nc)
-    err_sorted = jax.lax.fori_loop(
-        i0, i1, chunk_body, jnp.zeros((B2, L), bool))
-    err_sorted = jax.lax.fori_loop(
+    err_rolled = jax.lax.fori_loop(
+        i0, i1, chunk_body, jnp.zeros((B2, nk), _u32))
+    err_rolled = jax.lax.fori_loop(
         i1, nc, functools.partial(chunk_body, skip_cols=SKIP_COLS),
-        err_sorted)
+        err_rolled)
+    err_sorted = jnp.roll(err_rolled, n - 1, axis=1)[:, :L] > 0
     # inverse permutation, then fold the RC half back (errors are
     # per-BASE: RC lane position p is original position L-1-p)
     err2 = _permute_rows_mxu(onehot.T, err_sorted)
