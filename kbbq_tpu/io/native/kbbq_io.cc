@@ -7,6 +7,7 @@
 //
 // Build: make -C kbbq_tpu/io/native   ->  libkbbq_io.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -386,6 +387,105 @@ void kbbq_pack_lut4(const uint8_t* in, int64_t nrows, int64_t L,
     pool.emplace_back(work, r0, r1);
   }
   for (auto& th : pool) th.join();
+}
+
+// ------------------------------------------------ host covariate accum
+//
+// Pass-3 accumulate twin of ops/covariate.py::accumulate_covariates,
+// run on the HOST over sparse device error indices so the [N, L]
+// reported-quality array never crosses the device link at all (the
+// palette-packed quals h2d was the single largest remaining transfer —
+// ~1.9 s for 30 MB through the axon tunnel, inflating pass-1 wall ~4x).
+// All-integer +1 counts in int64: bit-identical to the device MXU
+// histogram under any order/threading (adds commute; SURVEY.md H5).
+//
+// err_idx: sorted unique flat indices i*L + j of walk-marked bases
+// (n_err of them); tables are int64 [nrg, nq, nc] (cyc) and
+// [nrg, nq, nd] (dinuc), zeroed by the caller.
+void kbbq_accum_cov(const int8_t* codes, const int8_t* quals,
+                    const uint8_t* mask, const int32_t* rgs,
+                    const uint8_t* seconds, const uint32_t* err_idx,
+                    int64_t n_err, int64_t N, int64_t L, int32_t nrg,
+                    int32_t nq, int32_t nc, int32_t nd,
+                    int32_t min_usable_q, int64_t* cyc_total,
+                    int64_t* cyc_errors, int64_t* din_total,
+                    int64_t* din_errors, int32_t threads) {
+  if (threads < 1) threads = 1;
+  const int64_t ncyc = (int64_t)nrg * nq * nc;
+  const int64_t ndin = (int64_t)nrg * nq * nd;
+  // per-thread partials; cap threads so partials stay under ~256 MB
+  // when nrg is large
+  while (threads > 1 &&
+         (int64_t)threads * (ncyc + ndin) * 2 * 8 > (256LL << 20))
+    threads--;
+  if (N < 4096) threads = 1;
+  std::vector<std::vector<int64_t>> part(
+      threads, std::vector<int64_t>(2 * (ncyc + ndin), 0));
+  auto work = [&](int32_t t, int64_t r0, int64_t r1) {
+    int64_t* ct = part[t].data();
+    int64_t* ce = ct + ncyc;
+    int64_t* dt = ce + ncyc;
+    int64_t* de = dt + ndin;
+    // first error index at or past this thread's row range
+    const uint32_t lo = (uint64_t)r0 * L > 0xFFFFFFFFull
+                            ? 0xFFFFFFFFu
+                            : (uint32_t)((uint64_t)r0 * L);
+    int64_t e = std::lower_bound(err_idx, err_idx + n_err, lo) - err_idx;
+    for (int64_t i = r0; i < r1; i++) {
+      const int8_t* c = codes + i * L;
+      const int8_t* q = quals + i * L;
+      const uint8_t* m = mask + i * L;
+      const int32_t sec = seconds[i] ? 1 : 0;
+      const int64_t rq0 = (int64_t)rgs[i] * nq;
+      int32_t prev = 4;
+      const uint64_t base = (uint64_t)i * L;
+      for (int64_t j = 0; j < L; j++) {
+        const int32_t cj = c[j], q0 = q[j];
+        bool iserr = false;
+        if (e < n_err && err_idx[e] == base + (uint64_t)j) {
+          iserr = true;
+          e++;
+        }
+        if (!m[j] || cj == 4 || q0 < min_usable_q) {
+          prev = cj;
+          continue;
+        }
+        const int32_t qc = q0 < 0 ? 0 : (q0 > nq - 1 ? nq - 1 : q0);
+        const int64_t rq = rq0 + qc;
+        const int32_t cyc = (int32_t)(j * 2) + sec;
+        ct[rq * nc + cyc]++;
+        if (iserr) ce[rq * nc + cyc]++;
+        if (j > 0 && prev != 4 && cj != 4) {
+          const int32_t din = prev * 4 + cj;
+          dt[rq * nd + din]++;
+          if (iserr) de[rq * nd + din]++;
+        }
+        prev = cj;
+      }
+    }
+  };
+  if (threads == 1) {
+    work(0, 0, N);
+  } else {
+    std::vector<std::thread> pool;
+    int64_t step = (N + threads - 1) / threads;
+    for (int32_t t = 0; t < threads; t++) {
+      int64_t r0 = t * step, r1 = r0 + step > N ? N : r0 + step;
+      if (r0 >= r1) break;
+      pool.emplace_back(work, t, r0, r1);
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int32_t t = 0; t < threads; t++) {
+    const int64_t* p = part[t].data();
+    for (int64_t x = 0; x < ncyc; x++) cyc_total[x] += p[x];
+    p += ncyc;
+    for (int64_t x = 0; x < ncyc; x++) cyc_errors[x] += p[x];
+    p += ncyc;
+    for (int64_t x = 0; x < ndin; x++) din_total[x] += p[x];
+    p += ndin;
+    for (int64_t x = 0; x < ndin; x++) din_errors[x] += p[x];
+  }
 }
 
 }  // extern "C"

@@ -75,6 +75,13 @@ def get_lib():
     lib.kbbq_byte_hist.restype = None
     lib.kbbq_byte_hist.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int32]
+    lib.kbbq_accum_cov.restype = None
+    lib.kbbq_accum_cov.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
     for fn in (lib.kbbq_pack_lut2, lib.kbbq_pack_lut4):
         fn.restype = None
         fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -182,6 +189,43 @@ def apply_recal(recal, codes, quals, mask, rgs, seconds,
         seconds.ctypes.data_as(cp), N, L, min_usable_q, dinuc_invalid,
         out.ctypes.data_as(cp), os.cpu_count() or 1)
     return out
+
+
+def accum_cov(codes, quals, mask, rgs, seconds, err_idx, tables,
+              min_usable_q: int) -> bool:
+    """Threaded host covariate accumulation over sparse error indices
+    into the int64 `tables` (an oracle.covariate.CovariateTables, added
+    in place).  Twin of ops/covariate.py::accumulate_covariates; False
+    when the native lib is unavailable (callers use the NumPy twin in
+    ops/covariate_host.py)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    N, L = codes.shape
+    if N * L >= 2**32:  # uint32 flat-index ABI; NumPy twin takes int64
+        return False
+    quals = np.ascontiguousarray(quals, dtype=np.int8)
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    rgs = np.ascontiguousarray(rgs, dtype=np.int32)
+    seconds = np.ascontiguousarray(seconds, dtype=np.uint8)
+    err_idx = np.ascontiguousarray(err_idx, dtype=np.uint32)
+    nrg, nq, nc = tables.cyc_total.shape
+    nd = tables.din_total.shape[2]
+    for t in (tables.cyc_total, tables.cyc_errors, tables.din_total,
+              tables.din_errors):
+        assert t.dtype == np.int64 and t.flags.c_contiguous
+    cp = ctypes.c_void_p
+    lib.kbbq_accum_cov(
+        codes.ctypes.data_as(cp), quals.ctypes.data_as(cp),
+        mask.ctypes.data_as(cp), rgs.ctypes.data_as(cp),
+        seconds.ctypes.data_as(cp), err_idx.ctypes.data_as(cp),
+        err_idx.size, N, L, nrg, nq, nc, nd, min_usable_q,
+        tables.cyc_total.ctypes.data_as(cp),
+        tables.cyc_errors.ctypes.data_as(cp),
+        tables.din_total.ctypes.data_as(cp),
+        tables.din_errors.ctypes.data_as(cp), os.cpu_count() or 1)
+    return True
 
 
 def fastq_index(buf: np.ndarray):

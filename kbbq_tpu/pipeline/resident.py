@@ -218,13 +218,22 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
         return dev, pal, qmode
 
     import time as _time
-    _qex = _cf.ThreadPoolExecutor(1)
     _q_stages: dict = {}
-    _q_fut = _qex.submit(_pack_and_put_quals, _q_stages)
-    _qex.shutdown(wait=False)
+    _q_state: list = []
+
+    def start_quals():
+        """Kick off the background quals pack+put (idempotent).  The
+        resident driver no longer ships quals at all (host covariate
+        accumulation over sparse error indices — ops/covariate_host.py),
+        so the pack+put only runs for callers that ask."""
+        if not _q_state:
+            _qex = _cf.ThreadPoolExecutor(1)
+            _q_state.append(_qex.submit(_pack_and_put_quals, _q_stages))
+            _qex.shutdown(wait=False)
 
     def join_quals(timings=None):
-        dev, pal, qmode = _q_fut.result()
+        start_quals()
+        dev, pal, qmode = _q_state[0].result()
         t0 = _time.time()
         out = _expand_quals(dev, jnp.asarray(pal), L=L,
                             qmode=qmode, dtype=quals_h.dtype.name)
@@ -233,8 +242,10 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
             timings["quals_stages"] = dict(_q_stages)
         return out
 
-    return (staged_slices, join_quals, jnp.asarray(rgs),
-            jnp.asarray(seconds), nb)
+    # rgs/seconds stay HOST arrays: the driver's covariate accumulation
+    # and pass 4 both run on the host now — putting them on device was
+    # ~1.6 MB of tunnel bytes nothing read
+    return staged_slices, join_quals, rgs, seconds, nb
 
 
 @functools.partial(jax.jit, static_argnames=("L", "qmode", "dtype"))
@@ -394,6 +405,17 @@ def _pass3_walks(rows_b, codes, *, k, num_hashes, ext_cap, use_pallas,
     return errors.reshape(codes.shape)
 
 
+@jax.jit
+def _pack_error_bits(errors):
+    """Bit-pack the walk's [N, L] bool error mask for the d2h hop.
+
+    Errors are sparse (~0.5-2% of bases) but the mask is dense; packed
+    bits are 8x fewer tunnel bytes than bools and need no
+    dynamic-shape compaction on device (the host flatnonzero is
+    trivial).  numpy-compatible big bit order."""
+    return jnp.packbits(errors.reshape(-1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("B", "num_rg", "max_len"))
 def _pass3_accum(errors, codes, quals, mask, rgs, seconds, *, B, num_rg,
@@ -529,33 +551,35 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                             trust_threshold=config.trust_threshold, B=B)
     jax.block_until_ready(rows_b)
     _mark("pass2")
-    # dispatch the walks (codes-only) first, THEN join the quals
-    # transfer (already in flight since staging): it rides the relay
-    # and the host CPU while passes 1-3 compute
+    # walks are codes-only; quals never cross the link at all.  The
+    # covariate histogram moved to the HOST (ops/covariate_host.py):
+    # the walk's error mask comes back bit-packed (~N*L/8 bytes, the
+    # sparse direction), and the threaded C++ accumulator counts over
+    # the quals that already live in host RAM — this removed the
+    # palette-packed quals h2d, the largest remaining tunnel transfer.
     errors = _pass3_walks(rows_b, codes, k=k, num_hashes=h,
                           ext_cap=config.ext_cap, use_pallas=use_pallas,
                           B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
-    t_q = _time.time()
-    quals = join_quals(timings)
     t_w = _time.time()
-    jax.block_until_ready(errors)
+    errbits = np.asarray(_pack_error_bits(errors))
     t_e = _time.time()
     if timings is not None:
-        # attribution inside pass 3: time blocked on the overlapped
-        # quals transfer vs additional time blocked on walk compute
-        timings["quals_wait"] = round(t_w - t_q, 3)
+        # walk compute + packed-mask d2h (one blocking hop)
         timings["walks_wait"] = round(t_e - t_w, 3)
-    cov = _pass3_accum(errors, codes, quals, mask, rgs, seconds, B=B,
-                       num_rg=num_rg, max_len=arrays.max_len)
-    jax.block_until_ready(cov["cyc_total"])
+    N = arrays.num_reads
+    L = arrays.max_len
+    err_idx = np.flatnonzero(
+        np.unpackbits(errbits, count=N * L)).astype(np.int64)
+    t_i = _time.time()
+    from ..ops.covariate_host import accumulate_covariates_host
+    tables = accumulate_covariates_host(
+        arrays.codes, arrays.quals, arrays.mask, arrays.rgs,
+        arrays.seconds, err_idx, num_rg, L)
+    if timings is not None:
+        timings["host_accum"] = round(_time.time() - t_i, 3)
     _mark("pass3")
 
-    from ..state.covariate import CovariateAccumulator
-    acc = CovariateAccumulator(num_rg, arrays.max_len, 1)
-    acc.device_state = cov
-    acc.note_batch()
-    acc.flush()
-    recal = build_recal_table(acc.totals)
+    recal = build_recal_table(tables)
     _mark("deltas")
 
     # pass 4 on HOST: a pure integer gather over the tiny recal table,

@@ -358,3 +358,49 @@ def test_bloom_rows_dense_matches_scatter():
     none = np.asarray(bloom_rows_dense(blk, w, jnp.zeros(N, bool),
                                        log2_m))
     assert not none.any()
+
+
+def test_accumulate_covariates_host_matches_device():
+    """Host covariate accumulation (C++ kernel + NumPy twin) is
+    bit-identical to the device MXU histogram given the same sparse
+    error indices (integer adds commute — SURVEY.md H5)."""
+    from kbbq_tpu.constants import MIN_USABLE_Q
+    from kbbq_tpu.io.native_lib import accum_cov
+    from kbbq_tpu.ops.covariate_host import (_accumulate_numpy,
+                                             accumulate_covariates_host)
+
+    ds = make_dataset(genome_len=1500, read_len=50, coverage=10.0,
+                      error_rate=0.02, seed=23, num_rg=3, paired=True,
+                      n_rate=0.02)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    rng = np.random.default_rng(11)
+    errors = (rng.random(arrays.codes.shape) < 0.05) & arrays.mask
+    err_idx = np.flatnonzero(errors.reshape(-1)).astype(np.int64)
+
+    from kbbq_tpu.ops.covariate import (accumulate_covariates,
+                                        new_covariate_state)
+    state = new_covariate_state(3, arrays.max_len)
+    state = accumulate_covariates(
+        state, jnp.asarray(arrays.codes), jnp.asarray(arrays.quals),
+        jnp.asarray(arrays.mask), jnp.asarray(arrays.rgs),
+        jnp.asarray(arrays.seconds), jnp.asarray(errors))
+
+    got = accumulate_covariates_host(
+        arrays.codes, arrays.quals, arrays.mask, arrays.rgs,
+        arrays.seconds, err_idx, 3, arrays.max_len)
+    # NumPy twin separately (the entry point may have taken the C++ path)
+    tw = CovariateTables(3, arrays.max_len)
+    _accumulate_numpy(arrays.codes, arrays.quals, arrays.mask,
+                      arrays.rgs, arrays.seconds, err_idx, tw)
+    for name in ("cyc_total", "cyc_errors", "din_total", "din_errors"):
+        dev = np.asarray(state[name])
+        assert (getattr(got, name) == dev).all(), name
+        assert (getattr(tw, name) == dev).all(), f"numpy twin {name}"
+    # and the C++ kernel explicitly, when the native lib is present
+    cc = CovariateTables(3, arrays.max_len)
+    if accum_cov(arrays.codes, arrays.quals, arrays.mask, arrays.rgs,
+                 arrays.seconds, err_idx, cc, MIN_USABLE_Q):
+        for name in ("cyc_total", "cyc_errors", "din_total",
+                     "din_errors"):
+            assert (getattr(cc, name) == np.asarray(state[name])).all(), \
+                f"native {name}"
