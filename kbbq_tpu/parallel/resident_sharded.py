@@ -11,8 +11,10 @@ Layout (SURVEY.md §3.3):
   sort build (ops/bloom.py::bloom_rows_dense — no serialized scatter),
   then OR-merged across devices with an all_gather + fold.  OR commutes,
   so the merged filter is bit-identical to the single-chip one.
-- covariate tables: per-device int32 partials, host int64 fold
-  (integer adds commute -> shard-count invariant, SURVEY.md H5).
+- covariate tables: accumulated on the HOST over bit-packed per-shard
+  error masks (ops/covariate_host.py) — quals/mask/rgs/seconds never
+  cross the link; integer adds commute -> shard-count invariant
+  (SURVEY.md H5).
 - pass 4 runs on HOST via the native C++ kernel (ops/recal.py), exactly
   as the single-chip resident path — the recal table is tiny and the
   gather is output-bound.
@@ -38,7 +40,6 @@ from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_query_rows, bloom_rows_dense, probe_words
-from ..ops.covariate import accumulate_covariates, new_covariate_state
 from ..ops.inference import WALK_CHUNK, infer_errors_batch, \
     infer_errors_scheduled
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
@@ -111,16 +112,15 @@ def build_resident_sharded(mesh: Mesh, *, k: int, num_hashes: int,
         return _or_merge(rows)
 
     @jax.jit
-    @_shmap(mesh,
-            in_specs=(P(None), P(R, None), P(R, None), P(R, None),
-                      P(R), P(R)),
-            out_specs={kk: P(R, *([None] * 3)) for kk in
-                       ("cyc_total", "cyc_errors",
-                        "din_total", "din_errors")})
-    def pass3(rows_b, codes, quals, mask, rgs, seconds):
-        def body(cov, i):
-            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * Bd, Bd, 0)
-            c = sl(codes)
+    @_shmap(mesh, in_specs=(P(None), P(R, None)), out_specs=P(R, None))
+    def pass3(rows_b, codes):
+        """Walks only; the error mask returns BIT-PACKED per shard
+        ([D, local_rows*L/8] bytes d2h) and the covariate histogram
+        runs on the HOST (ops/covariate_host.py) over the quals that
+        never left host RAM — same design as the single-chip resident
+        driver."""
+        def body(_, i):
+            c = jax.lax.dynamic_slice_in_dim(codes, i * Bd, Bd, 0)
             if Bd <= walk_chunk or Bd % walk_chunk:
                 errors = infer_errors_batch(rows_b, c, k, num_hashes,
                                             ext_cap)
@@ -128,14 +128,11 @@ def build_resident_sharded(mesh: Mesh, *, k: int, num_hashes: int,
                 errors = infer_errors_scheduled(rows_b, c, k, num_hashes,
                                                 chunk=walk_chunk,
                                                 ext_cap=ext_cap)
-            return accumulate_covariates(cov, c, sl(quals), sl(mask),
-                                         sl(rgs), sl(seconds),
-                                         errors), None
+            return None, errors
 
         nb = codes.shape[0] // Bd
-        cov, _ = jax.lax.scan(body, new_covariate_state(num_rg, max_len),
-                              jnp.arange(nb))
-        return {kk: v[None] for kk, v in cov.items()}
+        _, errs = jax.lax.scan(body, None, jnp.arange(nb))
+        return jnp.packbits(errs.reshape(-1))[None]
 
     return pass1, pass2, pass3
 
@@ -188,13 +185,11 @@ def recalibrate_arrays_resident_sharded(
         return np.concatenate(
             [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
 
+    # only codes + ids cross the link: quals/mask/rgs/seconds stay in
+    # host RAM for the host covariate accumulation and host pass 4
     sh = lambda a, *rest: jax.device_put(
         a, NamedSharding(mesh, P(R, *rest)))
     codes = sh(p2(arrays.codes, 4), None)
-    quals = sh(p2(arrays.quals, 0), None)
-    mask = sh(p2(arrays.mask, False), None)
-    rgs = sh(p2(arrays.rgs, 0))
-    seconds = sh(p2(arrays.seconds, False))
     ids_h = np.arange(npad, dtype=np.uint32)
     ids_h[N:] = 0xFFFFFFFF
     ids = sh(ids_h)
@@ -215,15 +210,18 @@ def recalibrate_arrays_resident_sharded(
     rows_b = pass2(rows_a, codes, t_table)
     jax.block_until_ready(rows_b)
     _mark("pass2")
-    cov_dm = pass3(rows_b, codes, quals, mask, rgs, seconds)
-    jax.block_until_ready(cov_dm["cyc_total"])
+    errbits = np.asarray(pass3(rows_b, codes))       # [D, bytes/shard]
+    rows_per_dev = npad // D
+    err_flat = np.concatenate(
+        [np.unpackbits(errbits[d], count=rows_per_dev * L)
+         for d in range(D)])
+    err_idx = np.flatnonzero(err_flat[:N * L]).astype(np.int64)
+    from ..ops.covariate_host import accumulate_covariates_host
+    totals = accumulate_covariates_host(
+        arrays.codes, arrays.quals, arrays.mask, arrays.rgs,
+        arrays.seconds, err_idx, num_rg, L)
     _mark("pass3")
 
-    from ..oracle.covariate import CovariateTables
-    totals = CovariateTables(num_rg, L)
-    for kk in ("cyc_total", "cyc_errors", "din_total", "din_errors"):
-        getattr(totals, kk)[...] += np.asarray(
-            cov_dm[kk]).astype(np.int64).sum(axis=0)
     recal = build_recal_table(totals)
     _mark("deltas")
 
