@@ -561,11 +561,14 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                           ext_cap=config.ext_cap, use_pallas=use_pallas,
                           B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
     t_w = _time.time()
-    errbits = np.asarray(_pack_error_bits(errors))
+    errbits_dev = _pack_error_bits(errors)
+    jax.block_until_ready(errbits_dev)
+    t_b = _time.time()
+    errbits = np.asarray(errbits_dev)
     t_e = _time.time()
     if timings is not None:
-        # walk compute + packed-mask d2h (one blocking hop)
-        timings["walks_wait"] = round(t_e - t_w, 3)
+        timings["walks_wait"] = round(t_b - t_w, 3)
+        timings["errbits_d2h"] = round(t_e - t_b, 3)
     N = arrays.num_reads
     L = arrays.max_len
     err_idx = np.flatnonzero(
