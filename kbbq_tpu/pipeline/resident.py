@@ -136,7 +136,11 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
     sb = max(1, -(-nb // num_slices))          # batches per slice
     starts = list(range(0, nb, sb))
     import concurrent.futures as _cf
-    _put_ex = _cf.ThreadPoolExecutor(1)
+    # 3 pack workers: the per-slice 2-bit pack + sparse-N scan is
+    # numpy-bound host work (~0.5 s total at bench scale) that otherwise
+    # serializes ahead of the pass-1 dispatch loop; packs are
+    # independent and results are consumed in submission order
+    _put_ex = _cf.ThreadPoolExecutor(3)
 
     def _put_slice(b0):
         r0, r1 = b0 * B, min(nb, b0 + sb) * B
@@ -557,29 +561,51 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     # sparse direction), and the threaded C++ accumulator counts over
     # the quals that already live in host RAM — this removed the
     # palette-packed quals h2d, the largest remaining tunnel transfer.
-    errors = _pass3_walks(rows_b, codes, k=k, num_hashes=h,
-                          ext_cap=config.ext_cap, use_pallas=use_pallas,
-                          B=B, walk_chunk=config.walk_chunk or WALK_CHUNK)
-    t_w = _time.time()
-    errbits_dev = _pack_error_bits(errors)
-    jax.block_until_ready(errbits_dev)
-    t_b = _time.time()
-    errbits = np.asarray(errbits_dev)
-    t_e = _time.time()
-    if timings is not None:
-        timings["walks_wait"] = round(t_b - t_w, 3)
-        timings["errbits_d2h"] = round(t_e - t_b, 3)
+    #
+    # Walks dispatch PER STAGED SLICE: slice i's bit-packed errors ride
+    # the tunnel down and histogram on a worker thread while slice i+1's
+    # walks run on device, so the d2h + host accumulation (~0.5 s at
+    # bench scale) hide under walk compute instead of following it.
+    # One worker thread keeps the (commutative-integer) accumulation
+    # serialized into a single table — bit-identical under any split.
     N = arrays.num_reads
     L = arrays.max_len
-    err_idx = np.flatnonzero(
-        np.unpackbits(errbits, count=N * L)).astype(np.int64)
-    t_i = _time.time()
+    from ..oracle.covariate import CovariateTables
     from ..ops.covariate_host import accumulate_covariates_host
-    tables = accumulate_covariates_host(
-        arrays.codes, arrays.quals, arrays.mask, arrays.rgs,
-        arrays.seconds, err_idx, num_rg, L)
+    tables = CovariateTables(num_rg, L)
+    fetch_waits: list = []
+
+    def _fetch_accum(bits_dev, r0: int, rows: int):
+        t0 = _time.time()
+        bits = np.asarray(bits_dev)       # blocks until the slice's walks
+        fetch_waits.append(round(_time.time() - t0, 3))
+        r1 = min(r0 + rows, N)
+        if r1 <= r0:
+            return
+        err_idx = np.flatnonzero(
+            np.unpackbits(bits, count=(r1 - r0) * L)).astype(np.int64)
+        accumulate_covariates_host(
+            arrays.codes[r0:r1], arrays.quals[r0:r1], arrays.mask[r0:r1],
+            arrays.rgs[r0:r1], arrays.seconds[r0:r1], err_idx, num_rg, L,
+            tables=tables)
+
+    import concurrent.futures as _cf2
+    _acc_ex = _cf2.ThreadPoolExecutor(1)
+    acc_futs = []
+    r0 = 0
+    wc = config.walk_chunk or WALK_CHUNK
+    for part in codes_parts:
+        err_g = _pass3_walks(rows_b, part, k=k, num_hashes=h,
+                             ext_cap=config.ext_cap,
+                             use_pallas=use_pallas, B=B, walk_chunk=wc)
+        acc_futs.append(_acc_ex.submit(
+            _fetch_accum, _pack_error_bits(err_g), r0, part.shape[0]))
+        r0 += part.shape[0]
+    for f in acc_futs:
+        f.result()
+    _acc_ex.shutdown(wait=False)
     if timings is not None:
-        timings["host_accum"] = round(_time.time() - t_i, 3)
+        timings["errbit_waits"] = fetch_waits
     _mark("pass3")
 
     recal = build_recal_table(tables)
