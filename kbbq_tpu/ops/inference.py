@@ -562,10 +562,15 @@ def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
-# default walk width: swept on-chip round 2 (64: 38.8k, 128: 44.8k,
-# 256: 42.7k, 512/1024 worse; reads/s/chip at the 400k bench) — 128
-# balances per-round op cost against difficulty-grouping granularity
-WALK_CHUNK = 128
+# default walk width: re-swept on-chip after the skip-run engine +
+# batch-level stacking landed (400k bench, parity-gated): 128: 93.3k,
+# 256: 100.7k, 512: 109.1k, 1024: 116.7-122.7k, 2048: 80.5k reads/s/chip.
+# The skip engine removed the junk-lane round inflation that made wide
+# chunks lose the earlier sweep (64-256 era); per-chunk fixed cost now
+# dominates, so fewer, wider chunks win until round cost (~width-
+# proportional serialized probes) takes over past 1024.  Must divide
+# the batch size (8192).
+WALK_CHUNK = 1024
 
 # speculative skip-run pre-screen width (columns ahead of the cursor
 # whose candidate first-windows are queried each round): 3*C extra

@@ -29,6 +29,16 @@ def _query_window(bloom: OracleBloom, codes: np.ndarray, j: int, k: int) -> bool
     return bool(bloom.query(np.array([hi]), np.array([lo]))[0])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _coverage_thresholds_cached(alpha: float, k: int,
+                                p_false: float) -> tuple:
+    return tuple(int(v) for v in
+                 _coverage_thresholds_impl(alpha, k, p_false))
+
+
 def coverage_thresholds(alpha: float, k: int,
                         p_false: float = P_FALSE_COVER) -> np.ndarray:
     """t(x) for x in 0..k (DECISIONS.md D6).
@@ -36,7 +46,18 @@ def coverage_thresholds(alpha: float, k: int,
     t(x) = min { t : P[Binom(x, alpha) >= t] <= p_false }; may be x+1
     (position can never be covered).  t(0) = 1 (an overlap-free position is
     never covered).
+
+    Memoized: the scipy binomial-tail sweep costs ~1.4 s cold / ~0.2 s
+    warm per call, and the pipeline calls it with the same (alpha, k)
+    on every run.
     """
+    return np.array(_coverage_thresholds_cached(float(alpha), int(k),
+                                                float(p_false)),
+                    dtype=np.int64)
+
+
+def _coverage_thresholds_impl(alpha: float, k: int,
+                              p_false: float) -> np.ndarray:
     from scipy.stats import binom
 
     t = np.zeros(k + 1, dtype=np.int64)

@@ -179,12 +179,12 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
     # pack itself runs in the native codec off the GIL when available
     # (the numpy pack costs ~1 s over 60 MB and inflated ~4x under GIL
     # contention with the relay client while dispatches were in flight).
-    quals_h = p2(arrays.quals, 0)
-
     def _pack_and_put_quals(stage_times: dict):
         import time as _t
 
         from ..io import native_lib
+        nonlocal quals_h
+        quals_h = p2(arrays.quals, 0)
         t0 = _t.time()
         counts = native_lib.byte_hist(quals_h)
         if counts is None:
@@ -220,6 +220,9 @@ def _pad_to_batches(arrays: ReadArrays, B: int, num_slices: int = 8):
         dev = jax.device_put(packed_q)
         stage_times["put_call"] = round(_t.time() - t1, 3)
         return dev, pal, qmode
+
+    quals_h = None                  # padded lazily: the resident driver
+                                    # never ships quals (host accum)
 
     import time as _time
     _q_stages: dict = {}
@@ -467,6 +470,12 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
 
     k, h = config.k, config.num_hashes
     B = config.batch_size
+
+    # staging threads first: the per-slice 2-bit packs + puts run in the
+    # background while the host computes thresholds/filter params below
+    staged_slices, join_quals, rgs, seconds, nb = \
+        _pad_to_batches(arrays, B)
+
     lens = arrays.mask.sum(axis=1)
     total_bases = int(lens.sum())
     total_kmers = int(np.maximum(lens - k + 1, 0).sum())
@@ -484,9 +493,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     PALLAS_VMEM_BUDGET = 10 << 20  # packed filter bytes
     use_pallas = (config.pallas_enabled()
                   and params_b.m // 8 <= PALLAS_VMEM_BUDGET)
-
-    staged_slices, join_quals, rgs, seconds, nb = \
-        _pad_to_batches(arrays, B)
+    _mark("setup")
 
     # DENSE sort-builds replace the serialized insert scatters when the
     # whole dataset's k-mer triples fit a device budget (~9 B/k-mer);
