@@ -42,6 +42,19 @@ def test_resident_sample_prefix_overflow_fallback(arrays, monkeypatch):
     assert (got == want).all()
 
 
+def test_resident_sparse_errbit_overflow_fallback(arrays, monkeypatch):
+    """Forcing the pass-3 sparse error-index capacity to overflow must
+    re-fetch the dense bit mask with identical output bits (the sparse
+    d2h encoding is a transport optimization only)."""
+    from kbbq_tpu.pipeline import resident as res
+    cfg = RecalConfig(k=16, coverage=25.0, batch_size=64)
+    want = recalibrate_arrays(arrays, cfg)
+    monkeypatch.setattr(res, "SPARSE_ERR_DENOM", 10 ** 9)
+    monkeypatch.setattr(res, "_SPARSE_ERR_MIN", 1)
+    got = recalibrate_arrays_resident(arrays, cfg)
+    assert (got == want).all()
+
+
 def test_resident_batch_size_invariance(arrays):
     cfg_a = RecalConfig(k=16, coverage=25.0, batch_size=32)
     cfg_b = RecalConfig(k=16, coverage=25.0, batch_size=128)
