@@ -128,13 +128,15 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
         from kbbq_tpu.pipeline.resident import recalibrate_arrays_resident
         recalibrate_arrays_resident(arrays, cfg)
         _log("warm-up (compile) done")
-        # BEST of two timed runs: tunnel throughput through the axon
+        # BEST of three timed runs: tunnel throughput through the axon
         # relay varies wildly between moments (docs/KNOWN_ISSUES.md #11)
-        # — min over repeats is standard benchmarking practice and keeps
-        # the recorded number about the system, not the relay's mood.
+        # and host-side pass times have been observed to inflate several-
+        # fold within one session — min over repeats is standard
+        # benchmarking practice and keeps the recorded number about the
+        # system, not the relay's mood.  Each run is only ~seconds.
         # (Skipped when profiling: one traced run is enough.)
         dt = None
-        for rep in range(1 if profile_dir else 2):
+        for rep in range(1 if profile_dir else 3):
             pt = {}
             t0 = time.time()
             with prof:

@@ -111,14 +111,7 @@ def build_resident_sharded(mesh: Mesh, *, k: int, num_hashes: int,
                                 trs.reshape(-1), log2_mb)
         return _or_merge(rows)
 
-    @jax.jit
-    @_shmap(mesh, in_specs=(P(None), P(R, None)), out_specs=P(R, None))
-    def pass3(rows_b, codes):
-        """Walks only; the error mask returns BIT-PACKED per shard
-        ([D, local_rows*L/8] bytes d2h) and the covariate histogram
-        runs on the HOST (ops/covariate_host.py) over the quals that
-        never left host RAM — same design as the single-chip resident
-        driver."""
+    def _walk_shard(rows_b, codes):
         def body(_, i):
             c = jax.lax.dynamic_slice_in_dim(codes, i * Bd, Bd, 0)
             if Bd <= walk_chunk or Bd % walk_chunk:
@@ -132,9 +125,39 @@ def build_resident_sharded(mesh: Mesh, *, k: int, num_hashes: int,
 
         nb = codes.shape[0] // Bd
         _, errs = jax.lax.scan(body, None, jnp.arange(nb))
-        return jnp.packbits(errs.reshape(-1))[None]
+        return errs
 
-    return pass1, pass2, pass3
+    @jax.jit
+    @_shmap(mesh, in_specs=(P(None), P(R, None)), out_specs=P(R, None))
+    def pass3_dense(rows_b, codes):
+        """Walks only; the error mask returns BIT-PACKED per shard
+        ([D, local_rows*L/8] bytes d2h) and the covariate histogram
+        runs on the HOST (ops/covariate_host.py) over the quals that
+        never left host RAM — same design as the single-chip resident
+        driver.  Exact-fallback twin of pass3_sparse (compiled lazily:
+        only an overflowing, error-dense input ever calls it)."""
+        return jnp.packbits(_walk_shard(rows_b, codes).reshape(-1))[None]
+
+    def make_pass3_sparse(cap: int):
+        @jax.jit
+        @_shmap(mesh, in_specs=(P(None), P(R, None)), out_specs=P(R, None))
+        def pass3_sparse(rows_b, codes):
+            """Sparse per-shard error transport (count at [:, 0], sorted
+            local flat indices after), the multi-chip twin of
+            pipeline/resident.py::_sparse_error_idx — error marks are
+            ~0.5-1% of bases, so indices at a 1/64 capacity halve the
+            dense d2h bytes.  A shard whose count exceeds `cap` makes
+            the caller re-fetch via pass3_dense."""
+            flat = _walk_shard(rows_b, codes).reshape(-1)
+            n = flat.shape[0]
+            iota = jax.lax.iota(jnp.int32, n)
+            ks = jax.lax.sort(jnp.where(flat, iota, jnp.int32(n)))
+            cnt = jnp.sum(flat.astype(jnp.int32))
+            return jnp.concatenate([cnt[None], ks[:cap]])[None]
+
+        return pass3_sparse
+
+    return pass1, pass2, make_pass3_sparse, pass3_dense
 
 
 def recalibrate_arrays_resident_sharded(
@@ -196,7 +219,7 @@ def recalibrate_arrays_resident_sharded(
     jax.block_until_ready(codes)
     _mark("h2d")
 
-    pass1, pass2, pass3 = build_resident_sharded(
+    pass1, pass2, make_pass3_sparse, pass3_dense = build_resident_sharded(
         mesh, k=k, num_hashes=h, trust_threshold=config.trust_threshold,
         ext_cap=config.ext_cap,
         log2_ma=int(params_a.m).bit_length() - 1,
@@ -210,12 +233,24 @@ def recalibrate_arrays_resident_sharded(
     rows_b = pass2(rows_a, codes, t_table)
     jax.block_until_ready(rows_b)
     _mark("pass2")
-    errbits = np.asarray(pass3(rows_b, codes))       # [D, bytes/shard]
     rows_per_dev = npad // D
-    err_flat = np.concatenate(
-        [np.unpackbits(errbits[d], count=rows_per_dev * L)
-         for d in range(D)])
-    err_idx = np.flatnonzero(err_flat[:N * L]).astype(np.int64)
+    local_n = rows_per_dev * L
+    from ..pipeline import resident as _res
+    cap = min(local_n, max(_res._SPARSE_ERR_MIN,
+                           local_n // _res.SPARSE_ERR_DENOM))
+    enc = np.asarray(make_pass3_sparse(cap)(rows_b, codes))  # [D, cap+1]
+    if (enc[:, 0] > cap).any():
+        # error-dense shard (adversarial input): the sparse transport
+        # overflowed — re-run pass 3 with the exact dense bit transport
+        errbits = np.asarray(pass3_dense(rows_b, codes))
+        err_flat = np.concatenate(
+            [np.unpackbits(errbits[d], count=local_n) for d in range(D)])
+        err_idx = np.flatnonzero(err_flat[:N * L]).astype(np.int64)
+    else:
+        err_idx = np.concatenate(
+            [enc[d, 1:1 + enc[d, 0]].astype(np.int64) + d * local_n
+             for d in range(D)])
+        err_idx = err_idx[err_idx < N * L]
     from ..ops.covariate_host import accumulate_covariates_host
     totals = accumulate_covariates_host(
         arrays.codes, arrays.quals, arrays.mask, arrays.rgs,

@@ -129,3 +129,20 @@ def test_resident_sharded_matches_single_chip(arrays, single_chip_quals,
     assert set(t) >= {"h2d", "pass1", "pass2", "pass3", "pass4"}
     assert got.shape == single_chip_quals.shape
     assert (got == single_chip_quals).all()
+
+
+def test_resident_sharded_sparse_errbit_overflow_fallback(
+        arrays, single_chip_quals, monkeypatch):
+    """Forcing the per-shard sparse error-index capacity to overflow
+    must re-run pass 3 with the dense bit transport and identical
+    output bits (same invariant as the single-chip resident path)."""
+    from kbbq_tpu.parallel.resident_sharded import \
+        recalibrate_arrays_resident_sharded
+    from kbbq_tpu.pipeline import resident as res
+
+    monkeypatch.setattr(res, "SPARSE_ERR_DENOM", 10 ** 9)
+    monkeypatch.setattr(res, "_SPARSE_ERR_MIN", 1)
+    mesh = make_mesh(2)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    got = recalibrate_arrays_resident_sharded(arrays, cfg, mesh=mesh)
+    assert (got == single_chip_quals).all()
