@@ -35,24 +35,19 @@ def apply_recal_table_host(recal, codes, quals, mask, rgs, seconds,
     from ..constants import DINUC_INVALID, MIN_USABLE_Q, NUM_Q
     from ..io import native_lib
 
-    if os.environ.get("KBBQ_P4_TRACE"):
+    trace = bool(os.environ.get("KBBQ_P4_TRACE"))
+    import time as _t
+    t0 = _t.time()
+    r_h = np.asarray(recal)
+    t1 = _t.time()
+    res = native_lib.apply_recal(r_h, codes, quals, mask, rgs,
+                                 seconds, MIN_USABLE_Q, DINUC_INVALID)
+    if trace:
         import sys
-        import time as _t
-        t0 = _t.time()
-        r_h = np.asarray(recal)
-        t1 = _t.time()
-        res = native_lib.apply_recal(r_h, codes, quals, mask, rgs,
-                                     seconds, MIN_USABLE_Q, DINUC_INVALID)
         print(f"[p4] recal d2h/as-np {t1 - t0:.3f}s native "
               f"{_t.time() - t1:.3f}s", file=sys.stderr, flush=True)
-        if res is not None:
-            return res
-    else:
-        res = native_lib.apply_recal(np.asarray(recal), codes, quals,
-                                     mask, rgs, seconds, MIN_USABLE_Q,
-                                     DINUC_INVALID)
-        if res is not None:
-            return res
+    if res is not None:
+        return res
 
     N, L = codes.shape
     out = np.empty((N, L), np.int8)

@@ -40,8 +40,7 @@ from ..oracle.gatk import build_recal_table
 from ..oracle.kmers import alpha_threshold
 from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_query_rows, bloom_rows_dense, probe_words
-from ..ops.inference import WALK_CHUNK, infer_errors_batch, \
-    infer_errors_scheduled
+from ..ops.inference import WALK_CHUNK, infer_errors
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table_host
 from ..ops.trusted import trusted_mask_batch
@@ -114,13 +113,8 @@ def build_resident_sharded(mesh: Mesh, *, k: int, num_hashes: int,
     def _walk_shard(rows_b, codes):
         def body(_, i):
             c = jax.lax.dynamic_slice_in_dim(codes, i * Bd, Bd, 0)
-            if Bd <= walk_chunk or Bd % walk_chunk:
-                errors = infer_errors_batch(rows_b, c, k, num_hashes,
-                                            ext_cap)
-            else:
-                errors = infer_errors_scheduled(rows_b, c, k, num_hashes,
-                                                chunk=walk_chunk,
-                                                ext_cap=ext_cap)
+            errors = infer_errors(rows_b, c, k, num_hashes,
+                                  walk_chunk=walk_chunk, ext_cap=ext_cap)
             return None, errors
 
         nb = codes.shape[0] // Bd
@@ -235,13 +229,19 @@ def recalibrate_arrays_resident_sharded(
     _mark("pass2")
     rows_per_dev = npad // D
     local_n = rows_per_dev * L
-    from ..pipeline import resident as _res
-    cap = min(local_n, max(_res._SPARSE_ERR_MIN,
-                           local_n // _res.SPARSE_ERR_DENOM))
-    enc = np.asarray(make_pass3_sparse(cap)(rows_b, codes))  # [D, cap+1]
-    if (enc[:, 0] > cap).any():
-        # error-dense shard (adversarial input): the sparse transport
-        # overflowed — re-run pass 3 with the exact dense bit transport
+    from ..pipeline.resident import sparse_err_cap
+    # the sparse transport indexes local flat bases with an int32 iota +
+    # a local_n sentinel: shards holding >= 2^31 local bases would wrap
+    # silently — route those straight to the exact dense bit transport
+    enc = None
+    if local_n < 2 ** 31:
+        cap = sparse_err_cap(local_n)
+        enc = np.asarray(make_pass3_sparse(cap)(rows_b, codes))  # [D, cap+1]
+        if (enc[:, 0] > cap).any():
+            # error-dense shard (adversarial input): the sparse transport
+            # overflowed its capacity — fall back to dense bits
+            enc = None
+    if enc is None:
         errbits = np.asarray(pass3_dense(rows_b, codes))
         err_flat = np.concatenate(
             [np.unpackbits(errbits[d], count=local_n) for d in range(D)])

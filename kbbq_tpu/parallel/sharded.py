@@ -35,7 +35,7 @@ from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
     bloom_rows
 from ..ops.covariate import accumulate_covariates, new_covariate_state
-from ..ops.inference import WALK_CHUNK, infer_errors_batch
+from ..ops.inference import infer_errors
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table
 from ..ops.trusted import trusted_mask_batch
@@ -85,12 +85,10 @@ def build_sharded_steps(mesh: Mesh, k: int, num_hashes: int,
                        ("cyc_total", "cyc_errors",
                         "din_total", "din_errors")})
     def step_covariates(rows_b, cov_dm, codes, quals, mask, rgs, seconds):
-        # chunk the walk (WALK_CHUNK lanes) — see docs/KNOWN_ISSUES.md #1
-        Bd = codes.shape[0]
-        errs = [infer_errors_batch(rows_b, codes[s:s + WALK_CHUNK],
-                                   k, num_hashes, ext_cap)
-                for s in range(0, Bd, WALK_CHUNK)]
-        errors = errs[0] if len(errs) == 1 else jnp.concatenate(errs, 0)
+        # production walk router (difficulty-scheduled when the local
+        # batch divides into walk chunks) — see docs/KNOWN_ISSUES.md #1
+        errors = infer_errors(rows_b, codes, k, num_hashes,
+                              ext_cap=ext_cap)
         local = {kk: v[0] for kk, v in cov_dm.items()}
         out = accumulate_covariates(local, codes, quals, mask, rgs,
                                     seconds, errors)

@@ -31,7 +31,7 @@ from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
     bloom_rows
 from ..ops.covariate import accumulate_covariates
-from ..ops.inference import infer_errors_sorted
+from ..ops.inference import infer_errors
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table
 from ..ops.trusted import trusted_mask_batch
@@ -180,9 +180,10 @@ class RecalPipeline:
         for bi, b in enumerate(batches):
             t0 = time.time()
             codes = jnp.asarray(b.codes)
-            errors = infer_errors_sorted(self.rows_b, codes, k, h,
-                                         ext_cap=self.config.ext_cap,
-                                         use_pallas=self.pallas_b)
+            errors = infer_errors(self.rows_b, codes, k, h,
+                                  walk_chunk=self.config.walk_chunk,
+                                  ext_cap=self.config.ext_cap,
+                                  use_pallas=self.pallas_b)
             t1 = time.time()
             self.cov.device_state = _accumulate_donated(
                 self.cov.device_state, codes, jnp.asarray(b.quals),

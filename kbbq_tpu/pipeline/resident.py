@@ -30,8 +30,7 @@ from ..oracle.lighter import coverage_thresholds
 from ..ops.bloom import bloom_insert_rows, bloom_query_rows, \
     bloom_rows, bloom_rows_dense, probe_words
 from ..ops.covariate import accumulate_covariates, new_covariate_state
-from ..ops.inference import WALK_CHUNK, infer_errors_batch, \
-    infer_errors_scheduled
+from ..ops.inference import WALK_CHUNK, infer_errors
 from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
 from ..ops.recal import apply_recal_table, apply_recal_table_host
 from ..ops.trusted import trusted_mask_batch
@@ -398,14 +397,9 @@ def _pass3_walks(rows_b, codes, *, k, num_hashes, ext_cap, use_pallas,
         c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
         # walk_chunk-wide walks, difficulty-scheduled, walk body
         # compiled once (lax.map inside)
-        if B <= walk_chunk or B % walk_chunk:
-            errors = infer_errors_batch(rows_b, c, k, num_hashes,
-                                        ext_cap, use_pallas)
-        else:
-            errors = infer_errors_scheduled(rows_b, c, k, num_hashes,
-                                            chunk=walk_chunk,
-                                            ext_cap=ext_cap,
-                                            use_pallas=use_pallas)
+        errors = infer_errors(rows_b, c, k, num_hashes,
+                              walk_chunk=walk_chunk, ext_cap=ext_cap,
+                              use_pallas=use_pallas)
         return None, errors
 
     _, errors = jax.lax.scan(body, None, jnp.arange(nb))
@@ -430,6 +424,13 @@ def _pack_error_bits(errors):
 # dense fallback.
 SPARSE_ERR_DENOM = 64
 _SPARSE_ERR_MIN = 1024
+
+
+def sparse_err_cap(local_n: int) -> int:
+    """Sparse error-index capacity for a flat base count — the shared
+    policy for the single-chip slices and the sharded per-shard
+    transport (parallel/resident_sharded.py calls this too)."""
+    return min(local_n, max(_SPARSE_ERR_MIN, local_n // SPARSE_ERR_DENOM))
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -614,7 +615,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     tables = CovariateTables(num_rg, L)
     fetch_waits: list = []
 
-    def _fetch_accum(enc_dev, err_g, r0: int, rows: int):
+    def _fetch_accum(enc_dev, bits_g, r0: int, rows: int):
         t0 = _time.time()
         enc = np.asarray(enc_dev)         # blocks until the slice's walks
         cnt = int(enc[0])
@@ -623,8 +624,8 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
             err_idx = enc[1:1 + cnt].astype(np.int64)
         else:
             # error-dense slice (adversarial input): the sparse encoding
-            # overflowed its capacity — re-fetch the exact dense bits
-            bits = np.asarray(_pack_error_bits(err_g))
+            # overflowed its capacity — fetch the exact dense bits
+            bits = np.asarray(bits_g)
             err_idx = np.flatnonzero(
                 np.unpackbits(bits, count=rows * L)).astype(np.int64)
         fetch_waits.append(round(_time.time() - t0, 3))
@@ -647,11 +648,14 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
                              ext_cap=config.ext_cap,
                              use_pallas=use_pallas, B=B, walk_chunk=wc)
         n_flat = part.shape[0] * L
-        cap = min(n_flat, max(_SPARSE_ERR_MIN,
-                              n_flat // SPARSE_ERR_DENOM))
-        enc_g = _sparse_error_idx(err_g, cap=cap)
+        enc_g = _sparse_error_idx(err_g, cap=sparse_err_cap(n_flat))
+        # pack the dense fallback bits eagerly and hand the FUTURE only
+        # the packed view: the queued work then retains n/8 bytes per
+        # in-flight slice instead of the full [rows, L] bool mask
+        # (8x; ADVICE.md round 2) — err_g itself frees at loop end
+        bits_g = _pack_error_bits(err_g)
         acc_futs.append(_acc_ex.submit(
-            _fetch_accum, enc_g, err_g, r0, part.shape[0]))
+            _fetch_accum, enc_g, bits_g, r0, part.shape[0]))
         r0 += part.shape[0]
     for f in acc_futs:
         f.result()

@@ -32,15 +32,16 @@ def run_fingerprint(config, arrays) -> dict:
 
     Resuming with a changed -k/--alpha or different input silently loaded
     stale Bloom filters in round 1 (ADVICE.md medium); the fingerprint
-    pins every parameter that shapes pass output plus a cheap content
-    hash of the read data.
+    pins every parameter that shapes pass output plus a FULL content
+    CRC of the read data (a head/tail-only hash resumed stale filters
+    after mid-array edits — round-2 VERDICT weak #6).  CRC32 runs at
+    ~1 GB/s, one memory pass over arrays that are already in RAM.
     """
     import zlib
 
     h = 0
-    for arr in (arrays.codes[:64], arrays.codes[-64:],
-                arrays.quals[:64], arrays.rgs[:256]):
-        h = zlib.crc32(np.ascontiguousarray(arr).tobytes(), h)
+    for arr in (arrays.codes, arrays.quals, arrays.rgs, arrays.seconds):
+        h = zlib.crc32(np.ascontiguousarray(arr), h)
     return {
         "k": config.k,
         "alpha": config.alpha,
@@ -59,14 +60,15 @@ def run_fingerprint(config, arrays) -> dict:
 
 def stream_fingerprint(config, paths, scan) -> dict:
     """Fingerprint for the streaming driver: config params + per-file
-    read/base counts + a crc of each file's first 64 KiB."""
-    import zlib
-
-    h = 0
-    for p in paths:
-        with open(p, "rb") as f:
-            h = zlib.crc32(f.read(65536), h)
+    read/base counts + per-file (size, full-content CRC).  The CRCs are
+    folded during the metadata scan (io/stream.py::scan_fastq_files),
+    which reads every byte anyway — a mid-file mutation now refuses to
+    resume (round-2 VERDICT weak #6)."""
+    sizes = [int(os.path.getsize(p)) for p in paths]
     return {
+        "per_file_sizes": sizes,
+        "per_file_crc32": [int(c) for c in
+                           getattr(scan, "per_file_crc", [])],
         "k": config.k,
         "alpha": config.alpha,
         "coverage": config.coverage,
@@ -78,7 +80,6 @@ def stream_fingerprint(config, paths, scan) -> dict:
         "ext_cap": getattr(config, "ext_cap", None),
         "per_file_reads": list(scan.per_file_reads),
         "per_file_bases": list(scan.per_file_bases),
-        "head_crc32": h,
     }
 
 

@@ -198,16 +198,18 @@ def test_infer_errors_chunked_matches_plain():
     plain = np.asarray(infer_errors_batch(rows, codes, k, 7))
     chunked = np.asarray(infer_errors_chunked(rows, codes, k, 7, chunk=32))
     assert (plain == chunked).all()
-    from kbbq_tpu.ops.inference import infer_errors_sorted
-    srt = np.asarray(infer_errors_sorted(rows, codes, k, 7, chunk=32))
-    assert (plain == srt).all()
     # scheduled variant (lax.map walks + MXU one-hot permutation):
     # must be bit-identical too (needs a chunk-divisible batch)
-    from kbbq_tpu.ops.inference import infer_errors_scheduled
+    from kbbq_tpu.ops.inference import infer_errors, infer_errors_scheduled
     B = (codes.shape[0] // 32) * 32
     sch = np.asarray(infer_errors_scheduled(rows, codes[:B], k, 7,
                                             chunk=32))
     assert (plain[:B] == sch).all()
+    # the production router must agree on both its routes
+    routed = np.asarray(infer_errors(rows, codes[:B], k, 7, walk_chunk=32))
+    assert (plain[:B] == routed).all()
+    routed2 = np.asarray(infer_errors(rows, codes, k, 7, walk_chunk=None))
+    assert (plain == routed2).all()
     # empty-filter corner: no anchors anywhere -> nothing marked
     empty = jnp.zeros_like(rows)
     got = np.asarray(infer_errors_batch(empty, codes, k, 7))

@@ -283,3 +283,47 @@ def test_stream_fingerprint_mismatch(fq_files, tmp_path):
             list(fq_files), str(out),
             RecalConfig(k=18, coverage=22.0, batch_size=64),
             checkpoint_dir=str(ck), chunk_reads=40)
+
+
+def test_stream_fingerprint_deep_content(fq_files, tmp_path):
+    """A MID-FILE base edit that changes no counts/lengths must refuse
+    to resume (round-2 VERDICT weak #6: the head-CRC missed it)."""
+    import shutil
+
+    cfg = RecalConfig(k=16, coverage=22.0, batch_size=64)
+    d = tmp_path / "in"
+    d.mkdir()
+    p1 = d / "a.fq"
+    shutil.copy(fq_files[0], p1)
+    ck = tmp_path / "ck"
+    recalibrate_fastq_streaming([str(p1)], str(tmp_path / "o1.fq"), cfg,
+                                checkpoint_dir=str(ck), chunk_reads=40)
+    # flip one sequence base in the middle of the file, same size/counts
+    data = bytearray(p1.read_bytes())
+    lines = data.split(b"\n")
+    mid = (len(lines) // 8) * 4 + 1          # a seq line near the middle
+    seq = bytearray(lines[mid])
+    seq[0] = ord(b"A") if seq[0] != ord(b"A") else ord(b"C")
+    lines[mid] = bytes(seq)
+    p1.write_bytes(b"\n".join(lines))
+    with pytest.raises(ValueError, match="different parameters"):
+        recalibrate_fastq_streaming([str(p1)], str(tmp_path / "o2.fq"),
+                                    cfg, checkpoint_dir=str(ck),
+                                    chunk_reads=40)
+
+
+def test_run_fingerprint_deep_content(tmp_path):
+    """In-RAM path: a mid-array code edit must refuse to resume."""
+    from kbbq_tpu.io.batcher import ReadArrays
+    from kbbq_tpu.pipeline.recalibrate import recalibrate_arrays
+
+    ds = make_dataset(genome_len=600, read_len=50, coverage=15.0,
+                      error_rate=0.02, seed=47)
+    arrays = ReadArrays.from_lists(ds.codes, ds.quals, ds.rgs, ds.seconds)
+    cfg = RecalConfig(k=16, coverage=15.0, batch_size=64)
+    ck = str(tmp_path / "ck")
+    recalibrate_arrays(arrays, cfg, checkpoint_dir=ck)
+    mid = arrays.num_reads // 2
+    arrays.codes[mid, 3] = (arrays.codes[mid, 3] + 1) % 4
+    with pytest.raises(ValueError, match="different parameters"):
+        recalibrate_arrays(arrays, cfg, checkpoint_dir=ck)
