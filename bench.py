@@ -39,7 +39,8 @@ def _tpu_reachable(timeout_s: int = 240) -> bool:
 
 
 def golden_quals(num_reads: int, read_len: int, k: int,
-                 batch_size: int) -> "np.ndarray | None":
+                 batch_size: int,
+                 ext_cap: int | None = None) -> "np.ndarray | None":
     """CPU-backend output for the bench dataset (the parity authority).
 
     The axon TPU backend has miscompiled the walk before
@@ -57,6 +58,8 @@ def golden_quals(num_reads: int, read_len: int, k: int,
     import numpy as np
 
     key = f"r{num_reads}_l{read_len}_k{k}_b{batch_size}_v1"
+    if ext_cap is not None:
+        key += f"_w{ext_cap}"
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     path = os.path.join(cache_dir, f"golden_{key}.npy")
@@ -72,7 +75,8 @@ def golden_quals(num_reads: int, read_len: int, k: int,
         f"g = max(1000, int({num_reads} * {read_len} / 50.0))\n"
         f"arrays, _ = make_arrays_fast(genome_len=g, read_len={read_len},"
         f" num_reads={num_reads}, error_rate=0.005, seed=0)\n"
-        f"cfg = RecalConfig(k={k}, coverage=50.0, batch_size={batch_size})\n"
+        f"cfg = RecalConfig(k={k}, coverage=50.0, batch_size={batch_size},"
+        f" ext_cap={ext_cap})\n"
         "out = recalibrate_arrays(arrays, cfg)\n"
         f"np.save({path!r}, out)\n"
     )
@@ -88,7 +92,8 @@ def golden_quals(num_reads: int, read_len: int, k: int,
 def run(num_reads: int, read_len: int, k: int, batch_size: int,
         parity: bool = True, use_pallas: bool | None = None,
         profile_dir: str | None = None, resident: bool = True,
-        walk_chunk: int | None = None) -> dict:
+        walk_chunk: int | None = None,
+        ext_cap: int | None = None) -> dict:
     import contextlib
 
     import jax
@@ -115,7 +120,8 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
         genome_len=genome_len, read_len=read_len, num_reads=num_reads,
         error_rate=0.005, seed=0)
     cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size,
-                      use_pallas=use_pallas, walk_chunk=walk_chunk)
+                      use_pallas=use_pallas, walk_chunk=walk_chunk,
+                      ext_cap=ext_cap)
     _log(f"data ready: {num_reads} reads x {read_len}bp")
 
     prof = (jax.profiler.trace(profile_dir) if profile_dir
@@ -179,7 +185,7 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
 
     parity_ok = None
     if parity:
-        want = golden_quals(num_reads, read_len, k, batch_size)
+        want = golden_quals(num_reads, read_len, k, batch_size, ext_cap)
         if want is not None:
             parity_ok = bool((out == want).all())
             _log(f"parity vs CPU golden: {parity_ok}")
@@ -214,6 +220,103 @@ def run(num_reads: int, read_len: int, k: int, batch_size: int,
     }
 
 
+def run_stream(num_reads: int, read_len: int, k: int, batch_size: int,
+               parity: bool = True, chunk_reads: int = 131072,
+               ext_cap: int | None = None) -> dict:
+    """Streamed FASTQ->FASTQ datapoint (resident-window engine,
+    pipeline/stream_resident.py): the path BASELINE configs 4-5 take.
+    Writes the synthetic dataset to a temp FASTQ, times the full
+    disk->disk run (scan + 4 re-streamed passes + write), and gates on
+    the same CPU golden as the resident bench (the in-RAM and streamed
+    pipelines are bit-identical by design; tests assert it)."""
+    import os
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from kbbq_tpu.pipeline import RecalConfig
+    from kbbq_tpu.pipeline.streaming import recalibrate_fastq_streaming
+    from kbbq_tpu.utils.synth import make_arrays_fast
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev}")
+    coverage = 50.0
+    genome_len = max(1000, int(num_reads * read_len / coverage))
+    arrays, _ = make_arrays_fast(
+        genome_len=genome_len, read_len=read_len, num_reads=num_reads,
+        error_rate=0.005, seed=0)
+    cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size,
+                      ext_cap=ext_cap)
+
+    tmp = tempfile.mkdtemp(prefix="kbbq_bench_stream_")
+    in_fq = os.path.join(tmp, "in.fq")
+    out_fq = os.path.join(tmp, "out.fq")
+    # vectorized FASTQ render (outside the timed region)
+    lut = np.frombuffer(b"ACGTN", np.uint8)
+    seq = lut[arrays.codes]
+    qb = (arrays.quals + 33).astype(np.uint8)
+    with open(in_fq, "wb") as f:
+        step = 65536
+        for s in range(0, num_reads, step):
+            e = min(num_reads, s + step)
+            lines = []
+            for i in range(s, e):
+                lines.append(b"@r%d" % i)
+                lines.append(seq[i].tobytes())
+                lines.append(b"+")
+                lines.append(qb[i].tobytes())
+            f.write(b"\n".join(lines) + b"\n")
+    _log(f"FASTQ staged: {os.path.getsize(in_fq) >> 20} MB")
+
+    kwargs = dict(interleaved=True, chunk_reads=chunk_reads)
+    recalibrate_fastq_streaming([in_fq], out_fq, cfg, **kwargs)
+    _log("warm-up (compile) done")
+    dt = None
+    pass_times = {}
+    for rep in range(3):
+        t0 = time.time()
+        recalibrate_fastq_streaming([in_fq], out_fq, cfg, **kwargs)
+        rep_dt = time.time() - t0
+        _log(f"timed run {rep}: {rep_dt:.2f}s")
+        if dt is None or rep_dt < dt:
+            dt = rep_dt
+
+    parity_ok = None
+    if parity:
+        want = golden_quals(num_reads, read_len, k, batch_size, ext_cap)
+        if want is not None:
+            from kbbq_tpu.io.fastq import read_fastq
+            fq = read_fastq(out_fq)
+            got = np.zeros_like(want)
+            for i in range(fq.num_reads):
+                got[i] = np.frombuffer(fq.qual_bytes(i), np.uint8
+                                       ).astype(np.int8) - 33
+            parity_ok = bool((got == want).all())
+            _log(f"parity vs CPU golden: {parity_ok}")
+
+    rps = num_reads / dt
+    return {
+        "parity": parity_ok,
+        "metric": "reads_per_sec_per_chip_streamed",
+        "value": round(rps, 1),
+        "unit": "reads/s/chip (streamed disk->disk 4-pass recalibrate)",
+        "vs_baseline": round(rps / 62.5e6, 6),
+        "detail": {
+            "device": str(dev), "num_reads": num_reads,
+            "read_len": read_len, "k": k, "batch_size": batch_size,
+            "chunk_reads": chunk_reads, "wall_s": round(dt, 3),
+        },
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=400_000)
@@ -231,9 +334,16 @@ def main() -> int:
                          "timed run into DIR")
     ap.add_argument("--walk-chunk", type=int, default=None,
                     help="pass-3 walk width (default ops.inference WALK_CHUNK)")
+    ap.add_argument("--ext-cap", type=int, default=None,
+                    help="walk trial-extension cap W (DECISIONS.md D7; "
+                         "k = reference extend-to-k semantics)")
     ap.add_argument("--no-resident", action="store_true",
                     help="use the per-batch dispatch pipeline instead of "
                          "the device-resident one-dispatch-per-pass path")
+    ap.add_argument("--stream", action="store_true",
+                    help="streamed disk->disk FASTQ datapoint "
+                         "(resident-window engine; bounded host memory)")
+    ap.add_argument("--chunk-reads", type=int, default=131072)
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
@@ -247,12 +357,21 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
         args.reads = min(args.reads, 20_000)
+    if args.stream:
+        result = run_stream(args.reads, args.read_len, args.k,
+                            args.batch_size,
+                            parity=not args.no_parity,
+                            chunk_reads=args.chunk_reads,
+                            ext_cap=args.ext_cap)
+        print(json.dumps(result))
+        return 0
     result = run(args.reads, args.read_len, args.k, args.batch_size,
                  parity=not args.no_parity,
                  use_pallas=True if args.pallas else None,
                  profile_dir=args.profile,
                  resident=not args.no_resident,
-                 walk_chunk=args.walk_chunk)
+                 walk_chunk=args.walk_chunk,
+                 ext_cap=args.ext_cap)
     print(json.dumps(result))
     return 0
 

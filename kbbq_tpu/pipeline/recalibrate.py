@@ -89,17 +89,16 @@ def _step_sample(slots, codes, read_ids, threshold, *, k, num_hashes):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "num_hashes", "trust_threshold",
-                                    "use_pallas"),
+                   static_argnames=("k", "num_hashes", "trust_threshold"),
                    donate_argnames=("slots_b",))
 def _step_trusted(rows_a, slots_b, codes, t_table, *, k, num_hashes,
-                  trust_threshold=None, use_pallas=False):
+                  trust_threshold=None):
+    # NOTE: the bulk query is ALWAYS the XLA serialized gather — the
+    # Pallas probe kernel cannot compile above 8 filter rows (Mosaic
+    # single-vreg dynamic_gather, pinned by test_aot_tpu.py) and every
+    # measured alternative is slower (docs/PERF.md round-3 microbench)
     hi, lo, valid = canonical_kmers_batch(codes, k)
-    if use_pallas:
-        from ..ops.pallas_bloom import bloom_query_rows_pallas
-        hits = bloom_query_rows_pallas(rows_a, hi, lo, num_hashes) & valid
-    else:
-        hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
+    hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
     tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
     return bloom_insert_rows(slots_b, hi, lo, tr, num_hashes)
 
@@ -134,14 +133,11 @@ class RecalPipeline:
         self.cov = CovariateAccumulator(
             num_rg, max_len, config.batch_size * max_len)
         self.recal_table = None
-        # Pallas VMEM-resident probes: only when the packed row view
-        # fits on-chip (v5e ~16 MB VMEM; leave headroom for blocks)
+        # Pallas walk ROUND kernel (opt-in, measured slower — PERF.md):
+        # only when the packed trusted filter fits VMEM
         PALLAS_VMEM_BUDGET = 13 << 20
         self.pallas_b = (config.pallas_enabled()
                          and self.bloom_b.params.m // 8
-                         <= PALLAS_VMEM_BUDGET)
-        self.pallas_a = (config.pallas_enabled()
-                         and self.bloom_a.params.m // 8
                          <= PALLAS_VMEM_BUDGET)
 
     def run_pass1(self, batches: Iterable[Batch]) -> None:
@@ -165,8 +161,7 @@ class RecalPipeline:
                                     jnp.asarray(b.codes), self.t_table,
                                     k=k, num_hashes=h,
                                     trust_threshold=
-                                    self.config.trust_threshold,
-                                    use_pallas=self.pallas_a)
+                                    self.config.trust_threshold)
         jax.block_until_ready(slots_b)
         self.bloom_b = BloomState(self.bloom_b.params, slots_b)
         self.rows_b = bloom_rows(slots_b)

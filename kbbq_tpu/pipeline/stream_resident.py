@@ -1,0 +1,415 @@
+"""Resident-WINDOW streaming driver: round-2 resident performance at
+bounded host memory (round-2 VERDICT missing #2 / weak #3).
+
+The original streaming driver (pipeline/streaming.py) pays one relay
+dispatch per 8k-read batch per pass (~150 dispatches/pass at bench
+scale, tens of ms each through the axon relay).  This engine streams
+the input in WINDOWS of `chunk_reads` reads and runs ONE jit per pass
+per window, exactly like the in-RAM resident pipeline
+(pipeline/resident.py) does per staged slice:
+
+- pass 1/2: per-window dense sort-built Bloom rows, OR-merged into the
+  running filter (OR commutes -> byte-identical to the global build);
+- pass 3: per-window walk dispatch (production scheduled engine) with
+  sparse error-index d2h + host covariate accumulation on a worker
+  thread (the resident design), so d2h hides under the next window;
+- pass 4: pure host gather per chunk (ops/recal.py twin) + incremental
+  write with chunk-offset resume.
+
+Host memory is O(window); device memory is O(window + filters).
+Sampling keys on global ordinals (DECISIONS.md D5), so output bytes are
+identical to the in-RAM pipelines for ANY chunk size (tests assert it).
+
+Reference analog: the reference streams all four passes from disk at
+full speed (pub:src/kbbq/htsiter.cc, SURVEY.md C6; mount empty, §0).
+"""
+
+from __future__ import annotations
+
+import functools
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fastq import write_fastq_with_quals
+from ..io.stream import (
+    DEFAULT_CHUNK_READS,
+    chunk_to_batch_arrays,
+    iter_fastq_chunks,
+    prefetch_iter,
+    scan_fastq_files,
+)
+from ..oracle.bloom import BloomParams
+from ..oracle.covariate import CovariateTables
+from ..oracle.gatk import build_recal_table
+from ..oracle.kmers import alpha_threshold
+from ..oracle.lighter import coverage_thresholds
+from ..ops.bloom import bloom_rows_dense, probe_words
+from ..ops.covariate_host import accumulate_covariates_host
+from ..ops.inference import WALK_CHUNK
+from ..ops.kmers import canonical_kmers_batch, sample_keep_mask
+from ..ops.recal import apply_recal_table_host
+from ..ops.trusted import trusted_mask_batch
+from .recalibrate import RecalConfig
+from .resident import _pack_error_bits, _pack_quarters, _pass3_walks, \
+    _sparse_error_idx, sparse_err_cap
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _expand_window(packed, n_pos, lens, off, nreal, *, L):
+    """Device-side window reconstruction (codes, ids) from the packed
+    feed — the streaming twin of resident._expand_inputs, with the
+    window offset/real-count as TRACED scalars so every full window
+    shares one executable."""
+    npad = packed.shape[0]
+    planes = [((packed >> s) & 3).astype(jnp.int8) for s in (0, 2, 4, 6)]
+    codes = jnp.concatenate(planes, axis=1)[:, :L]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (npad, L), 1)
+    mask = pos < lens[:, None].astype(jnp.int32)
+    codes = jnp.where(mask, codes, jnp.int8(4))
+    if n_pos.shape[0]:
+        codes = codes.reshape(-1).at[n_pos].set(
+            jnp.int8(4), mode="drop").reshape(npad, L)
+    r = jnp.arange(npad, dtype=jnp.uint32)
+    ids = jnp.where(r < nreal.astype(jnp.uint32),
+                    off.astype(jnp.uint32) + r, jnp.uint32(0xFFFFFFFF))
+    return codes, ids
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "num_hashes", "log2_m", "B"),
+                   donate_argnames=("rows_a",))
+def _p1_window(rows_a, codes, ids, threshold, *, k, num_hashes,
+               log2_m, B):
+    """One window of pass 1: sampled-k-mer dense build OR-merged into
+    the running filter (donated — no copy per window)."""
+    nb = codes.shape[0] // B
+
+    def body(_, i):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        rid = jax.lax.dynamic_slice_in_dim(ids, i * B, B, 0)
+        hi, lo, valid = canonical_kmers_batch(c, k)
+        keep = valid & sample_keep_mask(rid, hi.shape[1], threshold)
+        blk, w = probe_words(hi, lo, num_hashes, log2_m)
+        return None, (blk.reshape(-1), w.reshape(-1), keep.reshape(-1))
+
+    _, (blks, ws, keeps) = jax.lax.scan(body, None, jnp.arange(nb))
+    rows_w = bloom_rows_dense(blks.reshape(-1), ws.reshape(-1),
+                              keeps.reshape(-1), log2_m)
+    return rows_a | rows_w
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "num_hashes", "trust_threshold",
+                                    "log2_m", "B"),
+                   donate_argnames=("rows_b",))
+def _p2_window(rows_a, rows_b, codes, t_table, *, k, num_hashes,
+               trust_threshold, log2_m, B):
+    nb = codes.shape[0] // B
+
+    def body(_, i):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        hi, lo, valid = canonical_kmers_batch(c, k)
+        from ..ops.bloom import bloom_query_rows
+        hits = bloom_query_rows(rows_a, hi, lo, num_hashes) & valid
+        tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
+        blk, w = probe_words(hi, lo, num_hashes, log2_m)
+        return None, (blk.reshape(-1), w.reshape(-1), tr.reshape(-1))
+
+    _, (blks, ws, trs) = jax.lax.scan(body, None, jnp.arange(nb))
+    rows_w = bloom_rows_dense(blks.reshape(-1), ws.reshape(-1),
+                              trs.reshape(-1), log2_m)
+    return rows_b | rows_w
+
+
+def _npos_bucket(n: int) -> int:
+    """Pad sparse-N position lists to power-of-two buckets so window
+    jits don't recompile per distinct N count."""
+    b = 1024
+    while b < n:
+        b <<= 1
+    return b
+
+
+class StreamResidentEngine:
+    """Per-window staging + one-jit-per-pass execution state."""
+
+    def __init__(self, in_paths, config: RecalConfig, scan,
+                 interleaved: bool, chunk_reads: int):
+        self.in_paths = list(in_paths)
+        self.config = config
+        self.scan = scan
+        self.interleaved = interleaved
+        self.chunk_reads = int(chunk_reads)
+        self.L = scan.max_len
+        self.B = config.batch_size
+        self.num_rg = len(self.in_paths)
+        k = config.k
+        self.alpha, self.coverage = config.resolve_alpha(scan.total_bases)
+        self.threshold = jnp.uint32(alpha_threshold(self.alpha))
+        self.t_table = jnp.asarray(
+            coverage_thresholds(self.alpha, k), dtype=jnp.int32)
+        from ..oracle.pipeline import expected_bloom_keys
+        n_a, n_b = expected_bloom_keys(scan.total_kmers(k), self.alpha,
+                                       self.coverage)
+        self.params_a = BloomParams.for_keys(
+            n_a, config.sampled_bits_per_key, config.num_hashes)
+        self.params_b = BloomParams.for_keys(
+            n_b, config.trusted_bits_per_key, config.num_hashes)
+        self.la = int(self.params_a.m).bit_length() - 1
+        self.lb = int(self.params_b.m).bit_length() - 1
+        self.rows_a = None
+        self.rows_b = None
+        self.tables = None
+        self.recal = None
+
+    # ------------------------------------------------------- staging
+    def _chunks(self):
+        ordinal = 0
+        for fi, path in enumerate(self.in_paths):
+            for fq in iter_fastq_chunks(path, self.chunk_reads):
+                yield fi, fq, ordinal
+                ordinal += fq.num_reads
+
+    def _stage(self, arrs, ordinal: int):
+        """Host pack + device put of one window's codes feed."""
+        codes, quals, mask, rgs, seconds, _ = arrs
+        n = codes.shape[0]
+        npad = max(1, -(-n // self.B)) * self.B
+        lens = mask.sum(axis=1).astype(np.uint16)
+        if npad > n:
+            codes = np.concatenate(
+                [codes, np.full((npad - n, self.L), 4, np.int8)])
+            lens = np.concatenate([lens, np.zeros(npad - n, np.uint16)])
+        in_mask = (np.arange(self.L, dtype=np.int32)[None, :]
+                   < lens[:, None].astype(np.int32))
+        n_pos = np.flatnonzero((codes == 4) & in_mask).astype(np.int32)
+        cap = _npos_bucket(n_pos.size)
+        flat_n = npad * self.L
+        n_pos = np.concatenate(
+            [n_pos, np.full(cap - n_pos.size, flat_n, np.int32)])
+        dev = (jnp.asarray(_pack_quarters(codes)), jnp.asarray(n_pos),
+               jnp.asarray(lens), jnp.uint32(ordinal), jnp.int32(n))
+        return dev
+
+    def _windows(self, with_host: bool = False):
+        """Staged (codes, ids) device windows, decode+pack+put running
+        on the prefetch thread so the device never waits on the host."""
+        def gen():
+            for fi, fq, ordinal in self._chunks():
+                arrs = chunk_to_batch_arrays(fq, self.L, fi, ordinal,
+                                             self.interleaved)
+                staged = self._stage(arrs, ordinal)
+                yield staged, (arrs if with_host else None), ordinal
+        for staged, arrs, ordinal in prefetch_iter(gen(), depth=2):
+            packed, n_pos, lens, off, nreal = staged
+            codes, ids = _expand_window(packed, n_pos, lens, off, nreal,
+                                        L=self.L)
+            yield codes, ids, arrs, ordinal
+
+    # --------------------------------------------------------- passes
+    def run_pass1(self):
+        k, h = self.config.k, self.config.num_hashes
+        rows = jnp.zeros(self.params_a.m // 32, jnp.uint32)
+        for codes, ids, _, _ in self._windows():
+            rows = _p1_window(rows, codes, ids, self.threshold, k=k,
+                              num_hashes=h, log2_m=self.la, B=self.B)
+        jax.block_until_ready(rows)       # pass-boundary sync
+        self.rows_a = rows
+
+    def run_pass2(self):
+        k, h = self.config.k, self.config.num_hashes
+        rows = jnp.zeros(self.params_b.m // 32, jnp.uint32)
+        for codes, _, _, _ in self._windows():
+            rows = _p2_window(self.rows_a, rows, codes, self.t_table,
+                              k=k, num_hashes=h,
+                              trust_threshold=self.config.trust_threshold,
+                              log2_m=self.lb, B=self.B)
+        jax.block_until_ready(rows)
+        self.rows_b = rows
+
+    def run_pass3(self):
+        k, h = self.config.k, self.config.num_hashes
+        wc = self.config.walk_chunk or WALK_CHUNK
+        tables = CovariateTables(self.num_rg, self.L)
+        L = self.L
+
+        def fetch_accum(enc_dev, bits_dev, arrs):
+            codes, quals, mask, rgs, seconds, _ = arrs
+            n = codes.shape[0]
+            enc = np.asarray(enc_dev)
+            cnt = int(enc[0])
+            cap = enc.shape[0] - 1
+            if cnt <= cap:
+                err_idx = enc[1:1 + cnt].astype(np.int64)
+            else:
+                bits = np.asarray(bits_dev)
+                err_idx = np.flatnonzero(np.unpackbits(
+                    bits, count=bits.size * 8)).astype(np.int64)
+            err_idx = err_idx[err_idx < n * L]
+            accumulate_covariates_host(codes, quals, mask, rgs, seconds,
+                                       err_idx, self.num_rg, L,
+                                       tables=tables)
+
+        ex = ThreadPoolExecutor(1)
+        futs = []
+        for codes, _, arrs, _ in self._windows(with_host=True):
+            err_g = _pass3_walks(self.rows_b, codes, k=k, num_hashes=h,
+                                 ext_cap=self.config.ext_cap,
+                                 use_pallas=False, B=self.B,
+                                 walk_chunk=wc)
+            n_flat = codes.shape[0] * L
+            enc_g = _sparse_error_idx(err_g, cap=sparse_err_cap(n_flat))
+            bits_g = _pack_error_bits(err_g)
+            futs.append(ex.submit(fetch_accum, enc_g, bits_g, arrs))
+        for f in futs:
+            f.result()
+        ex.shutdown(wait=False)
+        self.tables = tables
+
+    def compute_recal_table(self):
+        self.recal = build_recal_table(self.tables)
+        return self.recal
+
+
+def recalibrate_fastq_stream_resident(
+        in_paths, out_paths, config: RecalConfig,
+        checkpoint_dir: str | None = None,
+        interleaved: bool = False,
+        chunk_reads: int = DEFAULT_CHUNK_READS,
+        timings: dict | None = None) -> dict:
+    """FASTQ -> FASTQ streaming recalibration, resident-window engine.
+
+    Same output-path semantics, checkpoints, and pass-4 chunk-offset
+    resume as pipeline/streaming.py::recalibrate_fastq_streaming —
+    byte-identical output to the in-RAM pipelines for any chunk size.
+    """
+    import time as _time
+    t_last = [_time.time()]
+
+    def _mark(name):
+        if timings is not None:
+            now = _time.time()
+            timings[name] = round(now - t_last[0], 3)
+            t_last[0] = now
+
+    if isinstance(in_paths, (str, bytes)):
+        in_paths = [in_paths]
+    scan = scan_fastq_files(in_paths, config.k, chunk_reads)
+    eng = StreamResidentEngine(in_paths, config, scan, interleaved,
+                               chunk_reads)
+    _mark("scan")
+
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, stream_fingerprint
+        ckpt = Checkpoint(checkpoint_dir)
+        ckpt.check_fingerprint(stream_fingerprint(config, in_paths, scan))
+
+    rows = ckpt.load_array("rows_a") if ckpt else None
+    if rows is not None:
+        eng.rows_a = jnp.asarray(rows)
+    else:
+        eng.run_pass1()
+        if ckpt:
+            ckpt.save_array("rows_a", eng.rows_a)
+    _mark("pass1")
+
+    rows = ckpt.load_array("rows_b") if ckpt else None
+    if rows is not None:
+        eng.rows_b = jnp.asarray(rows)
+    else:
+        eng.run_pass2()
+        if ckpt:
+            ckpt.save_array("rows_b", eng.rows_b)
+    _mark("pass2")
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        eng.tables = loaded
+    else:
+        eng.run_pass3()
+        if ckpt:
+            ckpt.save_covariates(eng.tables)
+    _mark("pass3")
+
+    recal = eng.compute_recal_table()
+    _mark("deltas")
+
+    # ------------------------------------------------------- pass 4
+    # host-side gather per chunk (the recal table is tiny; no device
+    # traffic at all) + incremental write with chunk-offset resume —
+    # same sink semantics as pipeline/streaming.py
+    single_sink = not isinstance(out_paths, (list, tuple))
+    opened: list = []
+    done_chunks = 0
+    meta = ckpt.load_meta() if ckpt else {}
+    p4 = meta.get("pass4")
+    resumable = (ckpt is not None and single_sink
+                 and isinstance(out_paths, (str, bytes)))
+    if resumable and p4:
+        done_chunks = int(p4["chunks"])
+
+    if single_sink:
+        if isinstance(out_paths, (str, bytes)):
+            if done_chunks:
+                f = open(out_paths, "r+b")
+                f.truncate(int(p4["bytes"]))
+                f.seek(int(p4["bytes"]))
+            else:
+                f = open(out_paths, "wb")
+            opened.append(f)
+            sinks = [f]
+        else:
+            sinks = [out_paths]
+    else:
+        if len(out_paths) != len(in_paths):
+            raise ValueError("need one output per input (or one sink)")
+        sinks = []
+        for o in out_paths:
+            if isinstance(o, (str, bytes)):
+                f = open(o, "wb")
+                opened.append(f)
+                sinks.append(f)
+            else:
+                sinks.append(o)
+
+    chunk_idx = 0
+    try:
+        def chunks():
+            ordinal = 0
+            for fi, path in enumerate(in_paths):
+                for fq in iter_fastq_chunks(path, chunk_reads):
+                    yield fi, fq, ordinal
+                    ordinal += fq.num_reads
+
+        for fi, fq, ordinal in prefetch_iter(chunks(), depth=2):
+            if chunk_idx < done_chunks:
+                chunk_idx += 1
+                continue
+            codes, quals, mask, rgs, seconds, _ = chunk_to_batch_arrays(
+                fq, scan.max_len, fi, ordinal, interleaved)
+            nq = apply_recal_table_host(recal, codes, quals, mask, rgs,
+                                        seconds)
+            sink = sinks[0] if single_sink else sinks[fi]
+            write_fastq_with_quals(fq, nq, mask, sink)
+            chunk_idx += 1
+            if resumable:
+                sink.flush()
+                meta = ckpt.load_meta()
+                meta["pass4"] = {"chunks": chunk_idx,
+                                 "bytes": sink.tell()}
+                ckpt.save_meta(meta)
+    finally:
+        for f in opened:
+            f.close()
+    _mark("pass4")
+
+    return {"num_reads": scan.num_reads,
+            "total_bases": scan.total_bases,
+            "read_groups": eng.num_rg,
+            "streamed": True,
+            "engine": "resident-window",
+            "chunks": chunk_idx}
