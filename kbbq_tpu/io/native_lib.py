@@ -172,15 +172,31 @@ def apply_recal(recal, codes, quals, mask, rgs, seconds,
     lib = get_lib()
     if lib is None:
         return None
+    trace = os.environ.get("KBBQ_P4_TRACE")
+    if trace:
+        import resource
+        import sys
+        import time as _t
+        ru0 = resource.getrusage(resource.RUSAGE_SELF)
+        t0 = _t.time()
+    from ..utils.mem import hugepage_empty
     recal = np.ascontiguousarray(recal, dtype=np.int8)
     codes = np.ascontiguousarray(codes, dtype=np.int8)
     quals = np.ascontiguousarray(quals, dtype=np.int8)
-    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    # bool and uint8 share representation: view, don't astype-copy a
+    # [N, L] array (fresh 60 MB first-touch is the pathology of
+    # KNOWN_ISSUES #12)
+    if mask.dtype == np.bool_ and mask.flags.c_contiguous:
+        mask = mask.view(np.uint8)
+    else:
+        mask = np.ascontiguousarray(mask, dtype=np.uint8)
     rgs = np.ascontiguousarray(rgs, dtype=np.int32)
     seconds = np.ascontiguousarray(seconds, dtype=np.uint8)
     N, L = codes.shape
     nrg, nq, nc, nd = recal.shape
-    out = np.empty((N, L), dtype=np.int8)
+    out = hugepage_empty((N, L), np.int8)
+    if trace:
+        t1 = _t.time()
     cp = ctypes.c_void_p
     lib.kbbq_apply_recal(
         recal.ctypes.data_as(cp), nrg, nq, nc, nd,
@@ -188,6 +204,15 @@ def apply_recal(recal, codes, quals, mask, rgs, seconds,
         mask.ctypes.data_as(cp), rgs.ctypes.data_as(cp),
         seconds.ctypes.data_as(cp), N, L, min_usable_q, dinuc_invalid,
         out.ctypes.data_as(cp), os.cpu_count() or 1)
+    if trace:
+        t2 = _t.time()
+        ru1 = resource.getrusage(resource.RUSAGE_SELF)
+        print(f"[p4-native] conv+alloc {t1-t0:.3f}s call {t2-t1:.3f}s "
+              f"minflt {ru1.ru_minflt-ru0.ru_minflt} "
+              f"majflt {ru1.ru_majflt-ru0.ru_majflt} "
+              f"usr {ru1.ru_utime-ru0.ru_utime:.2f} "
+              f"sys {ru1.ru_stime-ru0.ru_stime:.2f}",
+              file=sys.stderr, flush=True)
     return out
 
 

@@ -49,8 +49,9 @@ def apply_recal_table_host(recal, codes, quals, mask, rgs, seconds,
     if res is not None:
         return res
 
+    from ..utils.mem import hugepage_empty
     N, L = codes.shape
-    out = np.empty((N, L), np.int8)
+    out = hugepage_empty((N, L), np.int8)
     i32 = np.int32
     pos = np.arange(L, dtype=i32)[None, :]
     recal_flat = np.ascontiguousarray(recal).reshape(-1)

@@ -60,16 +60,41 @@ def _pack_quarters(codes: np.ndarray) -> np.ndarray:
     and the split quarters the dominant host->device transfer through
     the axon tunnel.  Padding rows/columns need no entries: the device
     mask (from per-read lengths) re-marks them.
+
+    All temporaries are in-place ops over two hugepage-advised quarter
+    buffers: the expression form allocated ~5 fresh [N, L]-scale temps
+    per slice, each re-paying this host's episodic first-touch fault
+    storm (utils/mem.py, KNOWN_ISSUES #12).
     """
+    from ..utils.mem import hugepage_empty
     N, L = codes.shape
-    pad = (-L) % 4
-    if pad:
-        codes = np.concatenate(
-            [codes, np.zeros((N, pad), codes.dtype)], axis=1)
-    Lq = codes.shape[1] // 4
-    c = (codes.astype(np.uint8) & 3)
-    return (c[:, :Lq] | (c[:, Lq:2 * Lq] << 2)
-            | (c[:, 2 * Lq:3 * Lq] << 4) | (c[:, 3 * Lq:] << 6))
+    Lq = (L + 3) // 4
+    cu = codes.view(np.uint8) if codes.dtype == np.int8 else \
+        codes.astype(np.uint8)
+
+    def quarter(out, j):
+        """out[:] = (codes[:, j*Lq:(j+1)*Lq] & 3), zero-padded."""
+        s = j * Lq
+        e = min(L, s + Lq)
+        if e <= s:
+            out[:] = 0
+            return out
+        w = e - s
+        np.bitwise_and(cu[:, s:e], 3, out=out[:, :w])
+        if w < Lq:
+            out[:, w:] = 0
+        return out
+
+    out = hugepage_empty((N, Lq), np.uint8)
+    q = hugepage_empty((N, Lq), np.uint8)
+    quarter(out, 3)
+    out <<= 2
+    out |= quarter(q, 2)
+    out <<= 2
+    out |= quarter(q, 1)
+    out <<= 2
+    out |= quarter(q, 0)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("L", "n_real"))
