@@ -57,9 +57,9 @@ def golden_quals(num_reads: int, read_len: int, k: int,
 
     import numpy as np
 
-    key = f"r{num_reads}_l{read_len}_k{k}_b{batch_size}_v1"
-    if ext_cap is not None:
-        key += f"_w{ext_cap}"
+    from kbbq_tpu.constants import DEFAULT_EXT_CAP
+    w = ext_cap if ext_cap is not None else DEFAULT_EXT_CAP
+    key = f"r{num_reads}_l{read_len}_k{k}_b{batch_size}_v1_w{w}"
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache")
     path = os.path.join(cache_dir, f"golden_{key}.npy")
@@ -317,6 +317,174 @@ def run_stream(num_reads: int, read_len: int, k: int, batch_size: int,
     }
 
 
+def _write_synth_bam(arrays, path: str, level: int = 1) -> None:
+    """Vectorized fixed-size-record BAM writer for the bench dataset:
+    half the records are stored reverse-strand (so machine-order decode
+    is exercised), read2 flags follow arrays.seconds, one RG."""
+    import struct
+
+    import numpy as np
+
+    from kbbq_tpu.io import bgzf
+    from kbbq_tpu.io.bam import CODE_TO_NIBBLE
+
+    codes, quals = arrays.codes, arrays.quals
+    N, L = codes.shape
+    assert L % 2 == 0
+    name_len = 9  # "r0000000\0"
+    aux = b"RGZrg0\x00"
+    nb = L // 2
+    body = 32 + name_len + nb + L + len(aux)
+    rec = 4 + body
+    blob = np.zeros((N, rec), np.uint8)
+
+    def put_i32(col: int, val):
+        v = np.asarray(val, "<i4")
+        blob[:, col:col + 4] = np.broadcast_to(
+            v.reshape(-1, 1).view(np.uint8), (N, 4))
+
+    put_i32(0, body)            # block_size
+    put_i32(4, -1)              # refid
+    put_i32(8, -1)              # pos
+    blob[:, 12] = name_len
+    rev = (np.arange(N) % 4) >= 2   # half reverse-strand
+    flag = ((0x1 | 0x4 | 0x8)
+            | np.where(arrays.seconds, 0x80, 0x40)
+            | np.where(rev, 0x10, 0)).astype("<u2")
+    blob[:, 18:20] = flag.reshape(-1, 1).view(np.uint8)
+    put_i32(20, L)              # l_seq
+    put_i32(24, -1)             # next_refid
+    put_i32(28, -1)             # next_pos
+    d = np.arange(N, dtype=np.int64)
+    blob[:, 36] = ord("r")
+    for p in range(7):
+        blob[:, 37 + p] = 48 + (d // 10 ** (6 - p)) % 10
+    # stored (alignment) orientation: RC + reverse for rev rows
+    crev = np.where(codes < 4, 3 - codes, codes)[:, ::-1]
+    store_c = np.where(rev[:, None], crev, codes)
+    store_q = np.where(rev[:, None], quals[:, ::-1], quals)
+    nibs = CODE_TO_NIBBLE[store_c]
+    so = 36 + name_len
+    blob[:, so:so + nb] = (nibs[:, 0::2] << 4) | nibs[:, 1::2]
+    blob[:, so + nb:so + nb + L] = store_q.astype(np.uint8)
+    blob[:, so + nb + L:] = np.frombuffer(aux, np.uint8)
+
+    hdr = [b"BAM\x01"]
+    text = b"@HD\tVN:1.6\n@RG\tID:rg0\n"
+    hdr.append(struct.pack("<i", len(text)))
+    hdr.append(text)
+    hdr.append(struct.pack("<i", 0))  # no refs (all unmapped)
+    raw = b"".join(hdr) + blob.tobytes()
+    with open(path, "wb") as f:
+        f.write(bgzf.compress(raw, level))
+
+
+def run_bam(num_reads: int, read_len: int, k: int, batch_size: int,
+            parity: bool = True, chunk_records: int = 65536,
+            ext_cap: int | None = None) -> dict:
+    """BAM->BAM datapoint (BASELINE config 3 shape): synthetic E.-coli-
+    scale BAM through the resident-window streaming engine, --set-oq,
+    with a decode-only sweep timed separately to attribute codec cost."""
+    import os
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from kbbq_tpu.pipeline import RecalConfig
+    from kbbq_tpu.pipeline.stream_resident import (
+        recalibrate_bam_stream_resident)
+    from kbbq_tpu.utils.synth import make_arrays_fast
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev}")
+    coverage = 50.0
+    genome_len = max(1000, int(num_reads * read_len / coverage))
+    arrays, _ = make_arrays_fast(
+        genome_len=genome_len, read_len=read_len, num_reads=num_reads,
+        error_rate=0.005, seed=0)
+    cfg = RecalConfig(k=k, coverage=coverage, batch_size=batch_size,
+                      ext_cap=ext_cap)
+    tmp = tempfile.mkdtemp(prefix="kbbq_bench_bam_")
+    in_bam = os.path.join(tmp, "in.bam")
+    out_bam = os.path.join(tmp, "out.bam")
+    _write_synth_bam(arrays, in_bam)
+    _log(f"BAM staged: {os.path.getsize(in_bam) >> 20} MB")
+
+    # decode-only sweep: what the codec layer costs per re-stream
+    from kbbq_tpu.io.bam_stream import iter_bam_raw_chunks
+    from kbbq_tpu.io.bam_vec import decode_machine_chunk
+    from kbbq_tpu.pipeline.bam import scan_bam
+    t0 = time.time()
+    _, _, _, max_len, registry = scan_bam(in_bam, k)
+    scan_s = time.time() - t0
+    t0 = time.time()
+    _, _, chunks = iter_bam_raw_chunks(in_bam, chunk_records)
+    for buf, offs, sizes in chunks:
+        decode_machine_chunk(buf, offs, sizes, max_len, registry)
+    sweep_s = time.time() - t0
+    _log(f"scan {scan_s:.2f}s, decode sweep {sweep_s:.2f}s")
+
+    recalibrate_bam_stream_resident(in_bam, out_bam, cfg, set_oq=True,
+                                    chunk_records=chunk_records)
+    _log("warm-up (compile) done")
+    dt, pass_times = None, {}
+    for rep in range(3):
+        pt = {}
+        t0 = time.time()
+        recalibrate_bam_stream_resident(in_bam, out_bam, cfg,
+                                        set_oq=True,
+                                        chunk_records=chunk_records,
+                                        timings=pt)
+        rep_dt = time.time() - t0
+        _log(f"timed run {rep}: {rep_dt:.2f}s ({pt})")
+        if dt is None or rep_dt < dt:
+            dt, pass_times = rep_dt, pt
+
+    parity_ok = None
+    if parity:
+        want = golden_quals(num_reads, read_len, k, batch_size, ext_cap)
+        if want is not None:
+            got = np.zeros_like(want)
+            _, _, chunks = iter_bam_raw_chunks(out_bam, chunk_records)
+            row = 0
+            for buf, offs, sizes in chunks:
+                c, q, m, r, s, lens, prim = decode_machine_chunk(
+                    buf, offs, sizes, max_len, registry)
+                got[row:row + prim.size] = q
+                row += prim.size
+            parity_ok = bool(row == want.shape[0] and (got == want).all())
+            _log(f"parity vs CPU golden: {parity_ok}")
+
+    rps = num_reads / dt
+    # decode share: scan + one decode per re-streamed pass (3 filter/
+    # covariate passes + pass 4) — an upper bound; prefetch overlaps it
+    decode_share = (scan_s + 4 * sweep_s) / dt
+    return {
+        "parity": parity_ok,
+        "metric": "reads_per_sec_per_chip_bam",
+        "value": round(rps, 1),
+        "unit": "reads/s/chip (BAM->BAM streamed 4-pass recalibrate)",
+        "vs_baseline": round(rps / 62.5e6, 6),
+        "detail": {
+            "device": str(dev), "num_reads": num_reads,
+            "read_len": read_len, "k": k, "batch_size": batch_size,
+            "chunk_records": chunk_records, "wall_s": round(dt, 3),
+            "scan_s": round(scan_s, 3),
+            "decode_sweep_s": round(sweep_s, 3),
+            "decode_share_upper_bound": round(decode_share, 4),
+            "pass_times_s": pass_times,
+        },
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=400_000)
@@ -343,6 +511,9 @@ def main() -> int:
     ap.add_argument("--stream", action="store_true",
                     help="streamed disk->disk FASTQ datapoint "
                          "(resident-window engine; bounded host memory)")
+    ap.add_argument("--bam", action="store_true",
+                    help="BAM->BAM datapoint (BASELINE config 3 shape: "
+                         "streamed, --set-oq, half reverse-strand)")
     ap.add_argument("--chunk-reads", type=int, default=131072)
     args = ap.parse_args()
     if args.quick:
@@ -357,6 +528,12 @@ def main() -> int:
         import jax
         jax.config.update("jax_platforms", "cpu")
         args.reads = min(args.reads, 20_000)
+    if args.bam:
+        result = run_bam(args.reads, args.read_len, args.k,
+                         args.batch_size, parity=not args.no_parity,
+                         ext_cap=args.ext_cap)
+        print(json.dumps(result))
+        return 0
     if args.stream:
         result = run_stream(args.reads, args.read_len, args.k,
                             args.batch_size,

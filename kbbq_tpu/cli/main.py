@@ -45,10 +45,11 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
                    help="save/resume pass-boundary checkpoints here")
     from ..constants import DEFAULT_EXT_CAP
     p.add_argument("--ext-cap", type=int, default=DEFAULT_EXT_CAP,
-                   help="substitution-trial extension cap W (<= k; the "
-                        f"reference extends to k; default "
-                        f"{DEFAULT_EXT_CAP} — a recorded output "
-                        "deviation, see DECISIONS.md D7)")
+                   help="substitution-trial extension cap W (clamped to "
+                        f"k; default {DEFAULT_EXT_CAP} = extend-to-k, "
+                        "the reference's semantics; smaller caps trade "
+                        "a recorded output deviation for fewer probes, "
+                        "see DECISIONS.md D7)")
     p.add_argument("--trust-threshold", type=int, default=None,
                    help="override the coverage-derived trusted-kmer "
                         "threshold T (parity calibration knob, D6)")

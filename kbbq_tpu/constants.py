@@ -85,7 +85,10 @@ def cycle_to_index(cycle):
 DEFAULT_MAX_READ_LEN = 160  # static padded read length for device batches
 
 # D7: substitution-trial extensions are measured over at most EXT_CAP
-# consecutive windows (the reference caps at k; a smaller cap changes probe
-# traffic 4x with negligible selection-quality impact — any candidate
-# reaching 8 consecutive trusted windows is essentially surely correct).
-DEFAULT_EXT_CAP = 8
+# consecutive windows.  The reference extends to k, and since round 3
+# that IS the default: with the skip-run walk engine the extra probe
+# traffic costs only ~7% of bench wall (pass3 1.53s -> 1.80s at 400k
+# reads, docs/PERF.md round-3 table), so reference semantics win over
+# the round-1 W=8 economy (whose discount was priced when probes were
+# 4x the walk cost).  W=8 remains available via --ext-cap 8.
+DEFAULT_EXT_CAP = 32

@@ -213,6 +213,34 @@ def iter_bam_chunks(path: str,
     return header_text, refs, chunks()
 
 
+def _scan_record_index(buf, start: int):
+    """(offs, sizes, end) for complete records in buf[start:] — native
+    bulk scan (io/native/kbbq_io.cc::kbbq_bam_offsets) with a pure-
+    Python fallback.  Raises BAMError on a non-positive record size."""
+    import numpy as np
+
+    from . import native_lib
+    try:
+        res = native_lib.bam_offsets(buf, start)
+    except ValueError as e:
+        raise BAMError(str(e)) from e
+    if res is not None:
+        return res
+    offs, sizes = [], []
+    off = start
+    n = len(buf)
+    while off + 4 <= n:
+        size = int.from_bytes(buf[off:off + 4], "little", signed=True)
+        if size <= 0:
+            raise BAMError("malformed BAM record size")
+        if off + 4 + size > n:
+            break
+        offs.append(off + 4)
+        sizes.append(size)
+        off += 4 + size
+    return (np.asarray(offs, np.int64), np.asarray(sizes, np.int64), off)
+
+
 def iter_bam_raw_chunks(path: str,
                         chunk_records: int = DEFAULT_CHUNK_RECORDS):
     """(header_text, refs, iterator of (buf, offs, sizes)) where buf is
@@ -220,54 +248,51 @@ def iter_bam_raw_chunks(path: str,
     included), offs[i] is the i-th record BODY offset into buf and
     sizes[i] its body size.  Lets callers vector-extract fields for a
     whole chunk without constructing per-record objects (the Python
-    per-record loop was the benchmark subcommand's bottleneck)."""
+    per-record loop was the benchmark subcommand's bottleneck); record
+    boundaries are indexed in bulk by the native codec."""
     import numpy as np
 
     header_text, refs, reader = open_bam_stream(path)
 
     def chunks():
         try:
+            buf = bytearray()
+            o_parts: list = []
+            s_parts: list = []
+            nrec = 0
+            scanned = 0  # bytes of buf fully indexed into o/s_parts
+            eof = False
             while True:
-                # read a big decoded span, then cut at record boundaries
-                blob = reader.read(4 << 20)
-                if not blob:
-                    return
-                buf = bytearray(blob)
-                offs = []
-                sizes = []
-                off = 0
-                while True:
-                    while len(buf) - off < 4:
-                        more = reader.read(1 << 20)
-                        if not more:
-                            break
-                        buf += more
-                    if len(buf) - off < 4:
-                        if len(buf) - off:
-                            raise BAMError("truncated BAM record size")
+                while nrec < chunk_records and not eof:
+                    more = reader.read(8 << 20)
+                    if not more:
+                        eof = True
                         break
-                    size = int.from_bytes(buf[off:off + 4], "little",
-                                          signed=True)
-                    while len(buf) - off - 4 < size:
-                        more = reader.read(
-                            max(1 << 20, size - (len(buf) - off - 4)))
-                        if not more:
-                            raise BAMError("truncated BAM record")
-                        buf += more
-                    offs.append(off + 4)
-                    sizes.append(size)
-                    off += 4 + size
-                    if len(offs) >= chunk_records:
-                        break
-                if not offs:
+                    buf += more
+                    o, s, scanned = _scan_record_index(buf, scanned)
+                    if o.size:
+                        o_parts.append(o)
+                        s_parts.append(s)
+                        nrec += o.size
+                if nrec == 0:
+                    if len(buf) - scanned:
+                        raise BAMError("truncated BAM record")
                     return
-                tail = buf[off:]
-                yield (np.frombuffer(bytes(buf[:off]), np.uint8),
-                       np.asarray(offs, np.int64),
-                       np.asarray(sizes, np.int64))
-                # push unconsumed tail back (simpler: keep as prefix)
-                if tail:
-                    reader.out[reader.pos:reader.pos] = tail
+                offs = (np.concatenate(o_parts) if len(o_parts) > 1
+                        else o_parts[0])
+                sizes = (np.concatenate(s_parts) if len(s_parts) > 1
+                         else s_parts[0])
+                take = min(nrec, chunk_records)
+                cut = int(offs[take - 1] + sizes[take - 1])
+                yield (np.frombuffer(bytes(memoryview(buf)[:cut]),
+                                     np.uint8),
+                       offs[:take].copy(), sizes[:take].copy())
+                rem_o, rem_s = offs[take:] - cut, sizes[take:]
+                del buf[:cut]
+                scanned -= cut
+                o_parts = [rem_o] if rem_o.size else []
+                s_parts = [rem_s] if rem_s.size else []
+                nrec -= take
         finally:
             reader.f.close()
 

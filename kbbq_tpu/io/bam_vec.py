@@ -159,7 +159,13 @@ def aux_scan(buf: np.ndarray, aux_off: np.ndarray, rec_end: np.ndarray,
         nact = ~bad & (nxt + 4 <= end[idx])
         # clean termination = nxt == end; anything else short is odd
         odd[idx[~bad & ~nact & (nxt != end[idx])]] = True
-        active[idx] = nact
+        # early out: once every wanted tag is located for a record the
+        # rest of its chain is irrelevant — with the common RG-first
+        # layout the whole walk is ONE vectorized step
+        allfound = np.ones(idx.size, bool)
+        for t in tags:
+            allfound &= found[t][0][idx] >= 0
+        active[idx] = nact & ~allfound
     else:
         odd[active] = True
     return found, odd
@@ -247,12 +253,24 @@ def decode_machine_chunk(buf: np.ndarray, offs: np.ndarray,
                 ((oq_ve[good] - oq_vs[good]) != p_len[good]).any()):
             raise BAMError("--use-oq: OQ length != read length")
 
-    # per read-length group: one contiguous row copy per record, then
-    # whole-group nibble decode + machine-order flip
+    # per read-length group: native threaded decode (nibble LUT +
+    # machine-order flip in one C pass, io/native/kbbq_io.cc), with the
+    # numpy row-copy path as fallback
+    from . import native_lib
+    p_qual = f["qual_off"][prim_rows]
     good_mask = ~odd
     for Lg in np.unique(p_len[good_mask]):
         sel = np.flatnonzero(good_mask & (p_len == Lg))
         Lg = int(Lg)
+        qsrc = oq_vs[sel] if use_oq else p_qual[sel]
+        tmp_c = np.empty((sel.size, Lg), np.int8)
+        tmp_q = np.empty((sel.size, Lg), np.int8)
+        if native_lib.bam_decode(buf, p_seq[sel], qsrc, rev[sel], Lg,
+                                 use_oq, tmp_c, tmp_q):
+            codes[sel, :Lg] = tmp_c
+            quals[sel, :Lg] = tmp_q
+            mask[sel, :Lg] = True
+            continue
         nb = (Lg + 1) // 2
         span = nb + Lg  # packed seq + qual are contiguous
         raw = np.empty((sel.size, span), np.uint8)

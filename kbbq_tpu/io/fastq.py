@@ -148,6 +148,18 @@ def extract_padded_arrays(fq: FastqData, max_len: int | None = None):
                 np.zeros((0, L), bool), lens)
     if int(lens.max(initial=0)) > L:
         raise ValueError(f"read length {int(lens.max())} exceeds max_len {L}")
+    # native one-pass LUT decode (threads): the numpy path below
+    # materializes two [N, L] int64 index arrays per chunk (~70 ns/base
+    # measured; the hugepage fault storm of KNOWN_ISSUES #12 rides on
+    # those fresh temporaries) — the C loop is ~2 ns/base
+    from . import native_lib
+    from ..utils.mem import hugepage_empty
+    codes = hugepage_empty((n, L), np.int8)
+    quals = hugepage_empty((n, L), np.int8)
+    mask = hugepage_empty((n, L), np.uint8)
+    if native_lib.fastq_extract(fq.buf, fq.seq_starts, fq.qual_starts,
+                                lens, L, _ENCODE_LUT, codes, quals, mask):
+        return codes, quals, mask.view(bool), lens
     pos = np.arange(L, dtype=np.int64)[None, :]
     mask = pos < lens[:, None]
     seq_idx = np.minimum(fq.seq_starts[:, None] + pos, fq.buf.size - 1)
@@ -168,6 +180,22 @@ def write_fastq_with_quals(fq: FastqData, new_quals: np.ndarray,
     n = fq.num_reads
     if n:
         L = new_quals.shape[1]
+        mask = np.asarray(mask)
+        # native row-copy write-back when every mask row is a prefix
+        # (always true for extract_padded_arrays masks); the generic
+        # numpy scatter below handles arbitrary masks
+        from . import native_lib
+        prefix = not (~mask[:, :-1] & mask[:, 1:]).any() if L > 1 else True
+        if prefix:
+            lens = mask.sum(axis=1).astype(np.int64)
+            nq = np.asarray(new_quals, np.int8)
+            if native_lib.fastq_write_quals(out, fq.qual_starts, lens, nq):
+                if isinstance(path_or_file, (str, bytes)):
+                    with open(path_or_file, "wb") as f:
+                        f.write(out.tobytes())
+                else:
+                    path_or_file.write(out.tobytes())
+                return
         pos = np.arange(L, dtype=np.int64)[None, :]
         idx = fq.qual_starts[:, None] + pos
         flat_idx = idx[mask]

@@ -488,4 +488,142 @@ void kbbq_accum_cov(const int8_t* codes, const int8_t* quals,
   }
 }
 
+// Decode FASTQ records into padded [n, stride] arrays in one pass:
+// codes via the caller's 256-entry encode LUT, quals = byte-33 clipped
+// to [0,93], mask = j < len (padding: code 4 / qual 0 / mask 0).  The
+// numpy path materialized two [n, stride] int64 index arrays per chunk
+// (~70 ns/base); this is a straight LUT copy (~2 ns/base, threaded).
+void kbbq_fastq_extract(const uint8_t* buf, const int64_t* seq_starts,
+                        const int64_t* qual_starts, const int64_t* lens,
+                        int64_t n, int32_t stride, const int8_t* enc_lut,
+                        int8_t* codes, int8_t* quals, uint8_t* mask,
+                        int32_t nthreads) {
+  if (nthreads < 1 || n < 256) nthreads = 1;
+  const int T = nthreads;
+  auto work = [&](int t) {
+    for (int64_t i = t; i < n; i += T) {
+      const uint8_t* s = buf + seq_starts[i];
+      const uint8_t* q = buf + qual_starts[i];
+      int8_t* oc = codes + i * stride;
+      int8_t* oq = quals + i * stride;
+      uint8_t* om = mask + i * stride;
+      int32_t L = (int32_t)lens[i];
+      for (int32_t j = 0; j < L; j++) {
+        oc[j] = enc_lut[s[j]];
+        int v = (int)q[j] - 33;
+        oq[j] = (int8_t)(v < 0 ? 0 : (v > 93 ? 93 : v));
+        om[j] = 1;
+      }
+      for (int32_t j = L; j < stride; j++) {
+        oc[j] = 4; oq[j] = 0; om[j] = 0;
+      }
+    }
+  };
+  if (T == 1) { work(0); return; }
+  std::vector<std::thread> ths;
+  for (int t = 0; t < T; t++) ths.emplace_back(work, t);
+  for (auto& th : ths) th.join();
+}
+
+// Overwrite quality-line bytes in an output FASTQ buffer from padded
+// [n, stride] int8 phred values (prefix-masked rows): the only-quals-
+// change invariant's write side.
+void kbbq_fastq_write_quals(uint8_t* out, const int64_t* qual_starts,
+                            const int64_t* lens, const int8_t* new_quals,
+                            int64_t n, int32_t stride, int32_t nthreads) {
+  if (nthreads < 1 || n < 256) nthreads = 1;
+  const int T = nthreads;
+  auto work = [&](int t) {
+    for (int64_t i = t; i < n; i += T) {
+      uint8_t* o = out + qual_starts[i];
+      const int8_t* q = new_quals + i * stride;
+      int32_t L = (int32_t)lens[i];
+      for (int32_t j = 0; j < L; j++) o[j] = (uint8_t)(q[j] + 33);
+    }
+  };
+  if (T == 1) { work(0); return; }
+  std::vector<std::thread> ths;
+  for (int t = 0; t < T; t++) ths.emplace_back(work, t);
+  for (auto& th : ths) th.join();
+}
+
+// ----------------------------------------------------------------- BAM
+
+// Scan complete BAM records in buf[start..n): out_offs[i] = body offset,
+// out_sizes[i] = body size.  Returns the record count (<= cap) and sets
+// *end_out just past the last complete record.  Malformed size -> -1.
+// (htslib walks this boundary per bam_read1 call; we index a whole
+// decoded span at once so Python never loops per record.)
+int64_t kbbq_bam_offsets(const uint8_t* buf, int64_t n, int64_t start,
+                         int64_t* out_offs, int64_t* out_sizes,
+                         int64_t cap, int64_t* end_out) {
+  int64_t off = start, cnt = 0;
+  while (off + 4 <= n && cnt < cap) {
+    int32_t sz;
+    memcpy(&sz, buf + off, 4);
+    if (sz <= 0) return -1;
+    if (off + 4 + sz > n) break;
+    out_offs[cnt] = off + 4;
+    out_sizes[cnt] = sz;
+    off += 4 + (int64_t)sz;
+    cnt++;
+  }
+  *end_out = off;
+  return cnt;
+}
+
+// Decode a group of same-length BAM records' seq+qual into machine
+// order (reverse-strand records reverse-complemented, quals reversed —
+// kbbq's CReadData semantics, SURVEY.md C5).  seq_off/qual_off are
+// per-record byte offsets into buf (qual_off may point at an OQ value
+// when oq_mode=1: value bytes are phred+33).  Outputs are [nrec, L]
+// int8 row-major with row stride out_stride.
+void kbbq_bam_decode(const uint8_t* buf, const int64_t* seq_off,
+                     const int64_t* qual_off, const uint8_t* rev,
+                     int64_t nrec, int32_t L, int32_t oq_mode,
+                     int8_t* out_codes, int8_t* out_quals,
+                     int64_t out_stride, int32_t nthreads) {
+  // 4-bit nibble -> 2-bit code (A=1,C=2,G=4,T=8 per SAM spec; else N=4)
+  static const int8_t nib[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                 3, 4, 4, 4, 4, 4, 4, 4};
+  if (nthreads < 1 || nrec < 1024) nthreads = 1;
+  const int T = nthreads;
+  auto work = [&](int t) {
+    for (int64_t i = t; i < nrec; i += T) {
+      const uint8_t* s = buf + seq_off[i];
+      int8_t* oc = out_codes + i * out_stride;
+      for (int32_t j = 0; j < L; j++) {
+        uint8_t b = s[j >> 1];
+        oc[j] = nib[(j & 1) ? (b & 0xF) : (b >> 4)];
+      }
+      const uint8_t* q = buf + qual_off[i];
+      int8_t* oq = out_quals + i * out_stride;
+      if (oq_mode) {
+        for (int32_t j = 0; j < L; j++) {
+          int v = (int)q[j] - 33;
+          oq[j] = (int8_t)(v < 0 ? 0 : (v > 93 ? 93 : v));
+        }
+      } else {
+        for (int32_t j = 0; j < L; j++)
+          oq[j] = (int8_t)(q[j] > 93 ? 93 : q[j]);
+      }
+      if (rev[i]) {
+        for (int32_t a = 0, b = L - 1; a < b; a++, b--) {
+          int8_t c = oc[a]; oc[a] = oc[b]; oc[b] = c;
+          c = oq[a]; oq[a] = oq[b]; oq[b] = c;
+        }
+        for (int32_t j = 0; j < L; j++)
+          if (oc[j] < 4) oc[j] = (int8_t)(3 - oc[j]);
+      }
+    }
+  };
+  if (T == 1) {
+    work(0);
+    return;
+  }
+  std::vector<std::thread> ths;
+  for (int t = 0; t < T; t++) ths.emplace_back(work, t);
+  for (auto& th : ths) th.join();
+}
+
 }  // extern "C"

@@ -86,6 +86,24 @@ def get_lib():
         fn.restype = None
         fn.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+    lib.kbbq_fastq_extract.restype = None
+    lib.kbbq_fastq_extract.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+    lib.kbbq_fastq_write_quals.restype = None
+    lib.kbbq_fastq_write_quals.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    lib.kbbq_bam_offsets.restype = ctypes.c_int64
+    lib.kbbq_bam_offsets.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.kbbq_bam_decode.restype = None
+    lib.kbbq_bam_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -250,6 +268,99 @@ def accum_cov(codes, quals, mask, rgs, seconds, err_idx, tables,
         tables.cyc_errors.ctypes.data_as(cp),
         tables.din_total.ctypes.data_as(cp),
         tables.din_errors.ctypes.data_as(cp), os.cpu_count() or 1)
+    return True
+
+
+def fastq_extract(buf: np.ndarray, seq_starts, qual_starts, lens,
+                  stride: int, enc_lut: np.ndarray,
+                  codes: np.ndarray, quals: np.ndarray,
+                  mask: np.ndarray) -> bool:
+    """Padded-array FASTQ decode (codes/quals/mask written in place);
+    False if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    import os
+    cp = ctypes.c_void_p
+    ss = np.ascontiguousarray(seq_starts, np.int64)
+    qs = np.ascontiguousarray(qual_starts, np.int64)
+    ln = np.ascontiguousarray(lens, np.int64)
+    lut = np.ascontiguousarray(enc_lut, np.int8)
+    assert codes.flags.c_contiguous and quals.flags.c_contiguous
+    assert mask.flags.c_contiguous
+    lib.kbbq_fastq_extract(
+        buf.ctypes.data_as(cp), ss.ctypes.data_as(cp),
+        qs.ctypes.data_as(cp), ln.ctypes.data_as(cp), ss.size,
+        int(stride), lut.ctypes.data_as(cp), codes.ctypes.data_as(cp),
+        quals.ctypes.data_as(cp), mask.ctypes.data_as(cp),
+        os.cpu_count() or 1)
+    return True
+
+
+def fastq_write_quals(out: np.ndarray, qual_starts, lens,
+                      new_quals: np.ndarray) -> bool:
+    """Overwrite FASTQ quality bytes in `out` from padded int8 phreds;
+    False if no native lib."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    import os
+    cp = ctypes.c_void_p
+    qs = np.ascontiguousarray(qual_starts, np.int64)
+    ln = np.ascontiguousarray(lens, np.int64)
+    q = np.ascontiguousarray(new_quals, np.int8)
+    lib.kbbq_fastq_write_quals(
+        out.ctypes.data_as(cp), qs.ctypes.data_as(cp),
+        ln.ctypes.data_as(cp), q.ctypes.data_as(cp), qs.size,
+        q.shape[1], os.cpu_count() or 1)
+    return True
+
+
+def bam_offsets(buf, start: int = 0):
+    """Scan complete BAM records in buf[start:]: (offs, sizes, end) of
+    int64 body offsets/sizes and the offset past the last complete
+    record, or None if no native lib.  Raises on a malformed size."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, np.uint8) if not isinstance(buf, np.ndarray) \
+        else buf
+    n = arr.size
+    cap = max(1, (n - start) // 36 + 8)
+    offs = np.empty(cap, np.int64)
+    sizes = np.empty(cap, np.int64)
+    end = ctypes.c_int64(0)
+    cp = ctypes.c_void_p
+    cnt = lib.kbbq_bam_offsets(
+        arr.ctypes.data_as(cp), n, start, offs.ctypes.data_as(cp),
+        sizes.ctypes.data_as(cp), cap, ctypes.byref(end))
+    if cnt < 0:
+        raise ValueError("native BAM scan: malformed record size")
+    return offs[:cnt], sizes[:cnt], int(end.value)
+
+
+def bam_decode(buf: np.ndarray, seq_off: np.ndarray, qual_off: np.ndarray,
+               rev: np.ndarray, L: int, oq_mode: bool,
+               out_codes: np.ndarray, out_quals: np.ndarray) -> bool:
+    """Machine-order group decode of same-length records; False if no
+    native lib.  out_codes/out_quals are int8 [n, stride] with the first
+    L columns written."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    import os
+    cp = ctypes.c_void_p
+    assert out_codes.dtype == np.int8 and out_codes.flags.c_contiguous
+    assert out_quals.dtype == np.int8 and out_quals.flags.c_contiguous
+    so = np.ascontiguousarray(seq_off, np.int64)
+    qo = np.ascontiguousarray(qual_off, np.int64)
+    rv = np.ascontiguousarray(rev, np.uint8)
+    lib.kbbq_bam_decode(
+        buf.ctypes.data_as(cp), so.ctypes.data_as(cp),
+        qo.ctypes.data_as(cp), rv.ctypes.data_as(cp),
+        so.size, int(L), 1 if oq_mode else 0,
+        out_codes.ctypes.data_as(cp), out_quals.ctypes.data_as(cp),
+        out_codes.shape[1], os.cpu_count() or 1)
     return True
 
 

@@ -96,6 +96,14 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
     from ..io.stream import _slice_batches, prefetch_iter
     from .streaming import _make_pipeline
 
+    if devices is None or devices <= 1:
+        # resident-window engine: one jit per pass per read window
+        # instead of one dispatch per batch — bit-identical
+        from .stream_resident import recalibrate_bam_stream_resident
+        return recalibrate_bam_stream_resident(
+            in_path, out_path, config, use_oq=use_oq, set_oq=set_oq,
+            checkpoint_dir=checkpoint_dir, chunk_records=chunk_records)
+
     chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
     k = config.k
     n, bases, tk, max_len, registry = scan_bam(in_path, k, use_oq,
@@ -106,13 +114,13 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
 
     ckpt = None
     if checkpoint_dir:
-        from ..state.checkpoint import Checkpoint
+        from ..state.checkpoint import Checkpoint, effective_ext_cap
         ckpt = Checkpoint(checkpoint_dir)
         fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
               "genome_length": config.genome_length,
               "num_hashes": config.num_hashes,
               "trust_threshold": config.trust_threshold,
-              "ext_cap": config.ext_cap, "use_oq": use_oq,
+              "ext_cap": effective_ext_cap(config), "use_oq": use_oq,
               "num_reads": n, "total_bases": bases, "bam": True}
         ckpt.check_fingerprint(fp)
 

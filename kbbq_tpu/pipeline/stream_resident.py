@@ -133,26 +133,129 @@ def _npos_bucket(n: int) -> int:
     return b
 
 
-class StreamResidentEngine:
-    """Per-window staging + one-jit-per-pass execution state."""
+class FastqWindowSource:
+    """Window source over FASTQ files: one window per streamed chunk
+    (chunks are already exactly chunk_reads, so shapes stay uniform)."""
 
-    def __init__(self, in_paths, config: RecalConfig, scan,
-                 interleaved: bool, chunk_reads: int):
+    def __init__(self, in_paths, scan, interleaved: bool,
+                 chunk_reads: int):
         self.in_paths = list(in_paths)
-        self.config = config
         self.scan = scan
         self.interleaved = interleaved
         self.chunk_reads = int(chunk_reads)
-        self.L = scan.max_len
-        self.B = config.batch_size
         self.num_rg = len(self.in_paths)
+        self.max_len = scan.max_len
+        self.total_bases = scan.total_bases
+
+    def total_kmers(self, k: int) -> int:
+        return self.scan.total_kmers(k)
+
+    def chunks(self):
+        ordinal = 0
+        for fi, path in enumerate(self.in_paths):
+            for fq in iter_fastq_chunks(path, self.chunk_reads):
+                yield chunk_to_batch_arrays(fq, self.max_len, fi, ordinal,
+                                            self.interleaved), ordinal
+                ordinal += fq.num_reads
+
+
+def rebuffer_windows(chunk_iter, window: int):
+    """Re-cut variable-size decoded chunks into fixed `window`-read
+    windows (last one partial) so every full window shares one jit
+    executable — BAM chunks lose a variable number of secondary/
+    supplementary records per chunk, which would otherwise recompile
+    the window programs per distinct padded shape."""
+    pend: list = []
+    have = 0
+    ordinal = 0
+
+    def emit(need: int):
+        out = [[] for _ in range(5)]
+        while need:
+            head = pend[0]
+            n0 = head[0].shape[0]
+            if n0 <= need:
+                for i in range(5):
+                    out[i].append(head[i])
+                pend.pop(0)
+                need -= n0
+            else:
+                for i in range(5):
+                    out[i].append(head[i][:need])
+                pend[0] = tuple(h[need:] for h in head)
+                need = 0
+        return tuple(np.concatenate(c) if len(c) > 1 else c[0]
+                     for c in out) + (None,)
+
+    for arrs in chunk_iter:
+        if arrs[0].shape[0] == 0:
+            continue
+        pend.append(tuple(arrs[:5]))
+        have += arrs[0].shape[0]
+        while have >= window:
+            yield emit(window), ordinal
+            ordinal += window
+            have -= window
+    if have:
+        yield emit(have), ordinal
+
+
+class BamWindowSource:
+    """Window source over a BAM: vectorized chunk decode
+    (io/bam_vec.py) re-cut into fixed-size windows."""
+
+    def __init__(self, path: str, registry: dict, max_len: int,
+                 total_bases: int, total_kmers_: int, use_oq: bool,
+                 chunk_records: int, window_reads: int):
+        self.path = path
+        self.registry = registry
+        self.num_rg = max(1, len(registry))
+        self.max_len = max_len
+        self.total_bases = total_bases
+        self._tk = total_kmers_
+        self.use_oq = use_oq
+        self.chunk_records = int(chunk_records)
+        self.window_reads = int(window_reads)
+
+    def total_kmers(self, k: int) -> int:
+        return self._tk
+
+    def _decoded(self):
+        from ..io.bam_stream import iter_bam_raw_chunks
+        from ..io.bam_vec import decode_machine_chunk
+        _, _, chunks = iter_bam_raw_chunks(self.path, self.chunk_records)
+        for buf, offs, sizes in chunks:
+            codes, quals, mask, rgs, seconds, _, prim = \
+                decode_machine_chunk(buf, offs, sizes, self.max_len,
+                                     self.registry, use_oq=self.use_oq)
+            if prim.size:
+                yield codes, quals, mask, rgs, seconds
+
+    def chunks(self):
+        yield from rebuffer_windows(self._decoded(), self.window_reads)
+
+
+class StreamResidentEngine:
+    """Per-window staging + one-jit-per-pass execution state.
+
+    `source` provides max_len / total_bases / total_kmers(k) / num_rg
+    and a re-iterable chunks() of ((codes, quals, mask, rgs, seconds,
+    ids), ordinal) windows — FASTQ and BAM sources plug in above."""
+
+    def __init__(self, source, config: RecalConfig):
+        self.source = source
+        self.config = config
+        self.L = source.max_len
+        self.B = config.batch_size
+        self.num_rg = source.num_rg
         k = config.k
-        self.alpha, self.coverage = config.resolve_alpha(scan.total_bases)
+        self.alpha, self.coverage = config.resolve_alpha(
+            source.total_bases)
         self.threshold = jnp.uint32(alpha_threshold(self.alpha))
         self.t_table = jnp.asarray(
             coverage_thresholds(self.alpha, k), dtype=jnp.int32)
         from ..oracle.pipeline import expected_bloom_keys
-        n_a, n_b = expected_bloom_keys(scan.total_kmers(k), self.alpha,
+        n_a, n_b = expected_bloom_keys(source.total_kmers(k), self.alpha,
                                        self.coverage)
         self.params_a = BloomParams.for_keys(
             n_a, config.sampled_bits_per_key, config.num_hashes)
@@ -164,15 +267,16 @@ class StreamResidentEngine:
         self.rows_b = None
         self.tables = None
         self.recal = None
+        # device window cache: packed feed is bases/4 bytes (+ small
+        # lens / N-position sidecars); enable when it fits the budget
+        import os as _os
+        budget = int(_os.environ.get("KBBQ_STREAM_CACHE_BYTES",
+                                     2 << 30))
+        self._cache_enabled = (source.total_bases // 4) <= budget
+        self._cache_complete = False
+        self._dev_cache: list = []
 
     # ------------------------------------------------------- staging
-    def _chunks(self):
-        ordinal = 0
-        for fi, path in enumerate(self.in_paths):
-            for fq in iter_fastq_chunks(path, self.chunk_reads):
-                yield fi, fq, ordinal
-                ordinal += fq.num_reads
-
     def _stage(self, arrs, ordinal: int):
         """Host pack + device put of one window's codes feed."""
         codes, quals, mask, rgs, seconds, _ = arrs
@@ -196,13 +300,36 @@ class StreamResidentEngine:
 
     def _windows(self, with_host: bool = False):
         """Staged (codes, ids) device windows, decode+pack+put running
-        on the prefetch thread so the device never waits on the host."""
+        on the prefetch thread so the device never waits on the host.
+
+        When the packed feed fits the device window-cache budget
+        (KBBQ_STREAM_CACHE_BYTES, default 2 GB), pass 1's staged windows
+        stay device-resident and later passes replay them — no re-decode
+        and no re-ship.  Larger-than-budget inputs (the WGS case the
+        streaming engine exists for) re-stream every pass as before.
+        Host arrays, when a pass needs them (pass 3's covariate
+        accumulation), are re-decoded on the prefetch thread and hidden
+        under device compute."""
         def gen():
-            for fi, fq, ordinal in self._chunks():
-                arrs = chunk_to_batch_arrays(fq, self.L, fi, ordinal,
-                                             self.interleaved)
+            if self._cache_complete:
+                if with_host:
+                    src = self.source.chunks()
+                    for (staged, ordinal), (arrs, o2) in zip(
+                            self._dev_cache, src):
+                        assert o2 == ordinal
+                        yield staged, arrs, ordinal
+                else:
+                    for staged, ordinal in self._dev_cache:
+                        yield staged, None, ordinal
+                return
+            self._dev_cache.clear()  # drop any partial fill
+            for arrs, ordinal in self.source.chunks():
                 staged = self._stage(arrs, ordinal)
+                if self._cache_enabled:
+                    self._dev_cache.append((staged, ordinal))
                 yield staged, (arrs if with_host else None), ordinal
+            if self._cache_enabled:
+                self._cache_complete = True
         for staged, arrs, ordinal in prefetch_iter(gen(), depth=2):
             packed, n_pos, lens, off, nreal = staged
             codes, ids = _expand_window(packed, n_pos, lens, off, nreal,
@@ -298,8 +425,8 @@ def recalibrate_fastq_stream_resident(
     if isinstance(in_paths, (str, bytes)):
         in_paths = [in_paths]
     scan = scan_fastq_files(in_paths, config.k, chunk_reads)
-    eng = StreamResidentEngine(in_paths, config, scan, interleaved,
-                               chunk_reads)
+    src = FastqWindowSource(in_paths, scan, interleaved, chunk_reads)
+    eng = StreamResidentEngine(src, config)
     _mark("scan")
 
     ckpt = None
@@ -413,3 +540,114 @@ def recalibrate_fastq_stream_resident(
             "streamed": True,
             "engine": "resident-window",
             "chunks": chunk_idx}
+
+
+def recalibrate_bam_stream_resident(
+        in_path: str, out_path, config: RecalConfig,
+        use_oq: bool = False, set_oq: bool = False,
+        checkpoint_dir: str | None = None,
+        chunk_records: int | None = None,
+        window_reads: int | None = None,
+        timings: dict | None = None) -> dict:
+    """BAM -> BAM streaming recalibration, resident-window engine.
+
+    The BAM twin of recalibrate_fastq_stream_resident: one jit per pass
+    per fixed-size read window (vectorized chunk decode feeding the
+    rebuffering window source), then a device-free pass 4 — host recal
+    gather (ops/recal.py twin) + in-buffer qual rewrite + incremental
+    BGZF write.  Byte-identical to the per-batch BAM driver
+    (pipeline/bam.py); tests assert it.
+    """
+    import time as _time
+
+    from ..io.bam_stream import (
+        DEFAULT_CHUNK_RECORDS,
+        BamStreamWriter,
+        iter_bam_raw_chunks,
+    )
+    from ..io.bam_vec import decode_machine_chunk, rewrite_quals_chunk
+    from .bam import scan_bam
+
+    t_last = [_time.time()]
+
+    def _mark(name):
+        if timings is not None:
+            now = _time.time()
+            timings[name] = round(now - t_last[0], 3)
+            t_last[0] = now
+
+    chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
+    window_reads = window_reads or DEFAULT_CHUNK_READS
+    k = config.k
+    n, bases, tk, max_len, registry = scan_bam(in_path, k, use_oq,
+                                               chunk_records)
+    src = BamWindowSource(in_path, registry, max_len, bases, tk, use_oq,
+                          chunk_records, window_reads)
+    eng = StreamResidentEngine(src, config)
+    _mark("scan")
+
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, effective_ext_cap
+        ckpt = Checkpoint(checkpoint_dir)
+        fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
+              "genome_length": config.genome_length,
+              "num_hashes": config.num_hashes,
+              "trust_threshold": config.trust_threshold,
+              "ext_cap": effective_ext_cap(config), "use_oq": use_oq,
+              "num_reads": n, "total_bases": bases, "bam": True}
+        ckpt.check_fingerprint(fp)
+
+    rows = ckpt.load_array("rows_a") if ckpt else None
+    if rows is not None:
+        eng.rows_a = jnp.asarray(rows)
+    else:
+        eng.run_pass1()
+        if ckpt:
+            ckpt.save_array("rows_a", eng.rows_a)
+    _mark("pass1")
+
+    rows = ckpt.load_array("rows_b") if ckpt else None
+    if rows is not None:
+        eng.rows_b = jnp.asarray(rows)
+    else:
+        eng.run_pass2()
+        if ckpt:
+            ckpt.save_array("rows_b", eng.rows_b)
+    _mark("pass2")
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        eng.tables = loaded
+    else:
+        eng.run_pass3()
+        if ckpt:
+            ckpt.save_covariates(eng.tables)
+    _mark("pass3")
+
+    recal = eng.compute_recal_table()
+    _mark("deltas")
+
+    # pass 4: raw-chunk decode + host gather + in-buffer rewrite; the
+    # whole chunk (secondary/supplementary included) streams out verbatim
+    header_text, refs, chunks = iter_bam_raw_chunks(in_path, chunk_records)
+    writer = BamStreamWriter(out_path, header_text, refs)
+    try:
+        for buf, offs, sizes in prefetch_iter(chunks, depth=2):
+            codes, quals, mask, rgs, seconds, lens, prim = \
+                decode_machine_chunk(buf, offs, sizes, max_len,
+                                     registry, use_oq=use_oq)
+            if prim.size:
+                nq = apply_recal_table_host(recal, codes, quals, mask,
+                                            rgs, seconds)
+                writer.write_raw(rewrite_quals_chunk(
+                    buf, offs, sizes, prim, lens, nq, set_oq=set_oq))
+            else:
+                writer.write_raw(buf)
+    finally:
+        writer.close()
+    _mark("pass4")
+
+    return {"num_reads": n, "total_bases": bases,
+            "read_groups": eng.num_rg, "streamed": True,
+            "engine": "resident-window"}

@@ -27,6 +27,16 @@ from .bloom import BloomState
 _COV_FIELDS = ("cyc_total", "cyc_errors", "din_total", "din_errors")
 
 
+def effective_ext_cap(config) -> int:
+    """Resolve the walk trial-extension cap to its EFFECTIVE value for
+    fingerprinting: a None (use-default) cap must not silently resume
+    checkpoints written under a different DEFAULT_EXT_CAP (the default
+    flipped 8 -> extend-to-k in round 3, DECISIONS.md D7)."""
+    from ..constants import DEFAULT_EXT_CAP
+    cap = getattr(config, "ext_cap", None)
+    return int(min(DEFAULT_EXT_CAP if cap is None else cap, config.k))
+
+
 def run_fingerprint(config, arrays) -> dict:
     """Config + input identity for resume validation.
 
@@ -51,7 +61,7 @@ def run_fingerprint(config, arrays) -> dict:
         "sampled_bits_per_key": config.sampled_bits_per_key,
         "trusted_bits_per_key": config.trusted_bits_per_key,
         "trust_threshold": config.trust_threshold,
-        "ext_cap": getattr(config, "ext_cap", None),
+        "ext_cap": effective_ext_cap(config),
         "num_reads": int(arrays.num_reads),
         "total_bases": int(arrays.mask.sum()),
         "content_crc32": h,
@@ -77,7 +87,7 @@ def stream_fingerprint(config, paths, scan) -> dict:
         "sampled_bits_per_key": config.sampled_bits_per_key,
         "trusted_bits_per_key": config.trusted_bits_per_key,
         "trust_threshold": config.trust_threshold,
-        "ext_cap": getattr(config, "ext_cap", None),
+        "ext_cap": effective_ext_cap(config),
         "per_file_reads": list(scan.per_file_reads),
         "per_file_bases": list(scan.per_file_bases),
     }

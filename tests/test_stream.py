@@ -327,3 +327,54 @@ def test_run_fingerprint_deep_content(tmp_path):
     arrays.codes[mid, 3] = (arrays.codes[mid, 3] + 1) % 4
     with pytest.raises(ValueError, match="different parameters"):
         recalibrate_arrays(arrays, cfg, checkpoint_dir=ck)
+
+
+def test_bam_resident_window_size_invariance(tmp_path):
+    """The BAM resident-window engine must be byte-identical for ANY
+    window size (windows re-cut across raw-chunk boundaries; secondaries
+    interleaved mid-stream)."""
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+    from kbbq_tpu.pipeline.stream_resident import (
+        recalibrate_bam_stream_resident)
+
+    ds = make_dataset(genome_len=900, read_len=44, coverage=16.0,
+                      error_rate=0.02, seed=23)
+    recs = []
+    for i, (c, q) in enumerate(zip(ds.codes, ds.quals)):
+        recs.append(build_record(f"r{i}", np.asarray(c),
+                                 np.asarray(q, np.uint8), flag=0,
+                                 rg="g0"))
+        if i % 13 == 4:
+            recs.append(build_record(f"s{i}", np.asarray(c),
+                                     np.asarray(q, np.uint8), flag=0x900))
+    bf = BamFile("@HD\tVN:1.6\n", [], recs)
+    p = tmp_path / "in.bam"
+    p.write_bytes(serialize_bam(bf))
+    cfg = RecalConfig(k=16, coverage=16.0, batch_size=32)
+    outs = []
+    for w, cr in ((32, 29), (101, 64), (1 << 20, 1 << 16)):
+        o = tmp_path / f"o{w}.bam"
+        recalibrate_bam_stream_resident(str(p), str(o), cfg,
+                                        chunk_records=cr, window_reads=w)
+        outs.append(o.read_bytes())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_stream_window_cache_invariance(tmp_path, monkeypatch):
+    """Device window cache on (default) vs off (budget 0) must be
+    byte-identical — the cache is a pure replay of pass-1's staging."""
+    from kbbq_tpu.pipeline.stream_resident import (
+        recalibrate_fastq_stream_resident)
+    ds = make_dataset(genome_len=1500, read_len=60, coverage=20.0,
+                      error_rate=0.02, seed=31)
+    p = tmp_path / "in.fq"
+    p.write_bytes(to_fastq_bytes(ds))
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    outs = []
+    for budget in ("0", str(2 << 30)):
+        monkeypatch.setenv("KBBQ_STREAM_CACHE_BYTES", budget)
+        o = tmp_path / f"o{budget}.fq"
+        recalibrate_fastq_stream_resident([str(p)], str(o), cfg,
+                                          chunk_reads=97)
+        outs.append(o.read_bytes())
+    assert outs[0] == outs[1]
