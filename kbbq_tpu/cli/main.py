@@ -50,6 +50,9 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
                         "the reference's semantics; smaller caps trade "
                         "a recorded output deviation for fewer probes, "
                         "see DECISIONS.md D7)")
+    p.add_argument("--fasta-ref", default=None,
+                   help="reference FASTA for reference-based CRAM input "
+                        "(unneeded when slices embed their reference)")
     p.add_argument("--trust-threshold", type=int, default=None,
                    help="override the coverage-derived trusted-kmer "
                         "threshold T (parity calibration knob, D6)")
@@ -117,12 +120,24 @@ def cmd_recalibrate(args) -> int:
     outs = [sys.stdout.buffer if o == "-" else o for o in outs]
     t0 = time.time()
     if args.input[0].endswith(".cram"):
-        # explicit rejection beats a confusing FASTQ-codec failure (the
-        # reference reads CRAM via htslib; this framework's codec layer
-        # covers FASTQ[.gz]/SAM/BAM — convert with `samtools view -b`)
-        raise SystemExit(
-            "CRAM input is not supported; convert to BAM first "
-            "(samtools view -b in.cram > in.bam)")
+        # own CRAM 3.0 reader (io/cram.py; the reference reads CRAM via
+        # htslib, SURVEY.md C7); reference-based files need --fasta-ref
+        # unless the slices embed their reference
+        if len(args.input) != 1:
+            raise SystemExit("CRAM mode takes exactly one input")
+        from ..pipeline.bam import recalibrate_cram
+        stats = recalibrate_cram(args.input[0], outs[0], cfg,
+                                 use_oq=args.use_oq, set_oq=args.set_oq,
+                                 fasta_ref=args.fasta_ref,
+                                 checkpoint_dir=args.checkpoint_dir,
+                                 devices=devices,
+                                 bloom_layout=args.bloom_layout)
+        dt = time.time() - t0
+        print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
+              f"({stats['total_bases']} bases) in {dt:.2f}s "
+              f"({stats['num_reads'] / max(dt, 1e-9):.0f} reads/s)",
+              file=sys.stderr)
+        return 0
     if args.input[0].endswith((".bam", ".sam")):
         if len(args.input) != 1:
             raise SystemExit("BAM mode takes exactly one input")

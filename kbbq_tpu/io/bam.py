@@ -241,7 +241,7 @@ def machine_order_read(rec: BamRecord, use_oq: bool = False):
 
 
 def serialize_bam(bf: BamFile, compress: bool = True,
-                  level: int = 6) -> bytes:
+                  level: int | None = None) -> bytes:
     """Re-serialize (records' `data` may have been modified/extended)."""
     out = [BAM_MAGIC]
     htext = bf.header_text.encode()
@@ -257,6 +257,9 @@ def serialize_bam(bf: BamFile, compress: bool = True,
         out.append(struct.pack("<i", len(rec.data)))
         out.append(bytes(rec.data))
     raw = b"".join(out)
+    if level is None:
+        from .bam_stream import DEFAULT_COMPRESS_LEVEL
+        level = DEFAULT_COMPRESS_LEVEL
     return bgzf.compress(raw, level) if compress else raw
 
 

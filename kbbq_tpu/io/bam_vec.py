@@ -29,6 +29,11 @@ import numpy as np
 
 from .bam import BAMError, record_from_body
 
+
+def struct_pack_i32(v: int) -> bytes:
+    import struct
+    return struct.pack("<i", v)
+
 # aux value sizes for fixed-width types; 0 = not fixed-width
 _AUX_FIXED = np.zeros(256, np.int64)
 for _t, _s in ((b"A", 1), (b"c", 1), (b"C", 1), (b"s", 2), (b"S", 2),
@@ -344,13 +349,64 @@ def rewrite_quals_chunk(buf: np.ndarray, offs: np.ndarray,
         qo = qoff[sel]
         for i, o in enumerate(qo):
             wbuf[o:o + Lg] = q[i]
-    if not set_oq:
+    if not set_oq or prim_rows.size == 0:
         return wbuf
 
-    # delete-existing + append-at-end OQ, per-record assembly
+    # delete-existing + append-at-end OQ
     p_end = offs[prim_rows] + sizes[prim_rows]
     found, odd = aux_scan(buf, pf["aux_off"][prim_rows], p_end, ("OQ",))
     vs, ve = found["OQ"]
+
+    if not odd.any() and not (vs >= 0).any():
+        # fast path (the common case: no pre-existing OQ anywhere):
+        # one grown-record assembly, fully vectorized
+        n = offs.size
+        uniform = (n and prim_rows.size == n
+                   and (sizes == sizes[0]).all()
+                   and (lens == lens[0]).all()
+                   and ((qoff - offs) == (qoff[0] - offs[0])).all())
+        if uniform:
+            # fixed-size records: one reshape, column-block writes
+            rec = int(sizes[0]) + 4
+            L = int(lens[0])
+            qo_rel = int(qoff[0] - offs[0]) + 4
+            out2 = np.empty((n, rec + L + 4), np.uint8)
+            out2[:, :rec] = wbuf[:n * rec].reshape(n, rec)
+            out2[:, :4] = np.frombuffer(
+                struct_pack_i32(rec - 4 + L + 4), np.uint8)
+            out2[:, rec:rec + 3] = np.frombuffer(b"OQZ", np.uint8)
+            out2[:, rec + 3:rec + 3 + L] = \
+                buf[:n * rec].reshape(n, rec)[:, qo_rel:qo_rel + L] \
+                + np.uint8(33)
+            out2[:, -1] = 0
+            return out2.reshape(-1)
+        grow = np.zeros(n, np.int64)
+        grow[prim_rows] = lens + 4          # "OQZ" + quals + NUL
+        seg_old = sizes + 4
+        out_len = seg_old + grow
+        dst = np.concatenate([[0], np.cumsum(out_len)[:-1]])
+        out = np.empty(int(out_len.sum()), np.uint8)
+        # old bytes: concatenated-segment copy via the repeat trick
+        # (no per-record Python loop)
+        cso = np.cumsum(seg_old)
+        within = np.arange(int(cso[-1])) - np.repeat(cso - seg_old,
+                                                     seg_old)
+        out[np.repeat(dst, seg_old) + within] = \
+            wbuf[np.repeat(offs - 4, seg_old) + within]
+        pd = dst[prim_rows]
+        newsz = (sizes[prim_rows] + grow[prim_rows]).astype("<i4")
+        out[pd[:, None] + np.arange(4)] = newsz.view(np.uint8).reshape(
+            -1, 4)
+        tag0 = pd + seg_old[prim_rows]
+        out[tag0], out[tag0 + 1], out[tag0 + 2] = 79, 81, 90  # "OQZ"
+        cs = np.cumsum(lens)
+        pos = np.arange(int(cs[-1])) - np.repeat(cs - lens, lens)
+        # ORIGINAL quals (+33) from the untouched input buffer
+        out[np.repeat(tag0 + 3, lens) + pos] = \
+            buf[np.repeat(qoff, lens) + pos] + np.uint8(33)
+        out[tag0 + 3 + lens] = 0
+        return out
+
     prim_of = {int(r): j for j, r in enumerate(prim_rows)}
     out = bytearray()
     import struct as _st

@@ -186,6 +186,63 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
             "read_groups": num_rg, "streamed": True}
 
 
+def recalibrate_cram(in_path: str, out_path, config: RecalConfig,
+                     use_oq: bool = False, set_oq: bool = False,
+                     fasta_ref: str | None = None,
+                     checkpoint_dir: str | None = None,
+                     devices: int | None = None,
+                     bloom_layout: str = "auto") -> dict:
+    """CRAM input (SURVEY.md C7: the reference reads CRAM via htslib).
+
+    Decoded records share the BAM record model (io/cram.py), so the
+    whole recalibration path is the BAM one; output format follows the
+    output extension (.cram re-encodes via io/cram_write.py, else BAM).
+    """
+    from ..io.cram import read_cram
+    from .recalibrate import run_pipeline
+
+    bf, _ = read_cram(in_path, fasta_ref=fasta_ref)
+    primary = [r for r in bf.records
+               if not r.is_secondary_or_supp and r.l_seq > 0]
+    codes_list, quals_list, seconds = [], [], []
+    for rec in primary:
+        c, q = machine_order_read(rec, use_oq=use_oq)
+        codes_list.append(c)
+        quals_list.append(np.clip(q, 0, 93).astype(np.int8))
+        seconds.append(rec.is_read2)
+    rgs, registry = bam_read_group_ids(bf, primary)
+    lens = np.asarray([len(c) for c in codes_list], np.int64)
+    max_len = int(lens.max(initial=1))
+    arrays = ReadArrays.from_lists(codes_list, quals_list, rgs, seconds,
+                                   max_len=max_len)
+    new_quals = run_pipeline(arrays, config, checkpoint_dir=checkpoint_dir,
+                             devices=devices, bloom_layout=bloom_layout)
+    total_bases = 0
+    for i, rec in enumerate(primary):
+        L = int(lens[i])
+        total_bases += L
+        rewrite_quals(rec, new_quals[i][:L], set_oq=set_oq)
+
+    if isinstance(out_path, (str, bytes)) and \
+            str(out_path).endswith(".cram"):
+        from ..io.cram_write import write_cram
+        # writer needs numeric RG per record (registry order == @RG
+        # order in the decoded header, both first-appearance)
+        rg_of = {rec.name: int(rgs[i]) for i, rec in enumerate(primary)}
+        for rec in bf.records:
+            rec._rg_index = rg_of.get(rec.name, -1)
+        write_cram(bf, out_path)
+    else:
+        data = serialize_bam(bf, compress=True)
+        if isinstance(out_path, (str, bytes)):
+            with open(out_path, "wb") as f:
+                f.write(data)
+        else:
+            out_path.write(data)
+    return {"num_reads": len(primary), "total_bases": total_bases,
+            "read_groups": len(registry)}
+
+
 def bam_read_group_ids(bf, records):
     """Dense RG index per record (registry order = first appearance);
     records without an RG tag share group 0 of a default registry."""

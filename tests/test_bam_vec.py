@@ -136,10 +136,13 @@ def test_registry_appearance_order_across_rg_mix(tmp_path):
     assert keys == ["", "late"]
 
 
-@pytest.mark.parametrize("set_oq", [False, True])
-def test_rewrite_chunk_matches_per_record(tmp_path, set_oq):
+@pytest.mark.parametrize("set_oq,with_oq", [(False, True), (True, True),
+                                             (True, False)])
+def test_rewrite_chunk_matches_per_record(tmp_path, set_oq, with_oq):
+    """with_oq=True exercises the delete+append per-record path;
+    with_oq=False the vectorized grown-record fast path."""
     from kbbq_tpu.io.bam import record_from_body, rewrite_quals
-    path, _ = _mixed_bam(tmp_path, with_oq=True)
+    path, _ = _mixed_bam(tmp_path, with_oq=with_oq)
     _, _, chunks = iter_bam_raw_chunks(path)
     buf, offs, sizes = next(chunks)
     cn, _, _, max_len, keys = scan_chunk(buf, offs, sizes, k=16)

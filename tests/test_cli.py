@@ -151,17 +151,35 @@ def test_cli_interleaved_changes_cycles(fq_file, tmp_path):
     assert o1.read_bytes() != o2.read_bytes()
 
 
-def test_cram_rejected_with_clear_error(tmp_path):
-    """CRAM input gets an explicit unsupported-format error instead of a
-    confusing codec failure (same pattern as round-1's SAM fix)."""
+def test_cram_cli_end_to_end(tmp_path):
+    """CRAM input recalibrates through the CLI (own CRAM 3.0 reader,
+    io/cram.py — round 3; previously a clean rejection)."""
     import subprocess
     import sys
 
+    from kbbq_tpu.io.bam import BamFile, build_record, read_bam
+    from kbbq_tpu.io.cram_write import write_cram
+
+    ds = make_dataset(genome_len=800, read_len=50, coverage=16.0,
+                      error_rate=0.02, seed=13)
+    recs = []
+    for i, (c, q) in enumerate(zip(ds.codes, ds.quals)):
+        rec = build_record(f"r{i}", np.asarray(c),
+                           np.asarray(q, np.uint8), flag=0x4)
+        rec._rg_index = 0
+        recs.append(rec)
+    bf = BamFile("@HD\tVN:1.6\n@RG\tID:g0\n", [], recs)
     p = tmp_path / "in.cram"
-    p.write_bytes(b"CRAM\x03\x00junk")
+    write_cram(bf, str(p))
+    out = tmp_path / "out.bam"
     r = subprocess.run(
-        [sys.executable, "-m", "kbbq_tpu", "recalibrate", str(p)],
+        [sys.executable, "-m", "kbbq_tpu", "recalibrate", str(p),
+         "-o", str(out), "-k", "16", "-c", "16"],
         capture_output=True, env={**__import__('os').environ,
                                   "KBBQ_PLATFORM": "cpu"})
-    assert r.returncode != 0
-    assert b"CRAM input is not supported" in r.stderr
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    got = read_bam(str(out))
+    assert len(got.records) == len(recs)
+    changed = sum(1 for a, b in zip(recs, got.records)
+                  if not (a.quals() == b.quals()).all())
+    assert changed > len(recs) // 2  # quals actually recalibrated

