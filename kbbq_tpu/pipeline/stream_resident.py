@@ -504,6 +504,12 @@ def recalibrate_fastq_stream_resident(
                 sinks.append(o)
 
     chunk_idx = 0
+    # write-behind: the sink write (buffer render + disk) runs on a
+    # single worker thread so it overlaps the next chunk's decode +
+    # gather.  With checkpointing the write stays synchronous — the
+    # resume bookkeeping (bytes written so far) must be exact.
+    wex = ThreadPoolExecutor(1)
+    pending: list = []
     try:
         def chunks():
             ordinal = 0
@@ -521,15 +527,21 @@ def recalibrate_fastq_stream_resident(
             nq = apply_recal_table_host(recal, codes, quals, mask, rgs,
                                         seconds)
             sink = sinks[0] if single_sink else sinks[fi]
-            write_fastq_with_quals(fq, nq, mask, sink)
-            chunk_idx += 1
             if resumable:
+                write_fastq_with_quals(fq, nq, mask, sink)
                 sink.flush()
                 meta = ckpt.load_meta()
-                meta["pass4"] = {"chunks": chunk_idx,
+                meta["pass4"] = {"chunks": chunk_idx + 1,
                                  "bytes": sink.tell()}
                 ckpt.save_meta(meta)
+            else:
+                pending.append(wex.submit(write_fastq_with_quals, fq,
+                                          nq, mask, sink))
+            chunk_idx += 1
     finally:
+        for f in pending:   # drain queued writes before closing sinks
+            f.result()
+        wex.shutdown(wait=False)
         for f in opened:
             f.close()
     _mark("pass4")
@@ -629,9 +641,18 @@ def recalibrate_bam_stream_resident(
     _mark("deltas")
 
     # pass 4: raw-chunk decode + host gather + in-buffer rewrite; the
-    # whole chunk (secondary/supplementary included) streams out verbatim
+    # whole chunk (secondary/supplementary included) streams out
+    # verbatim.  The rewrite + BGZF deflate run write-behind on a
+    # worker thread, overlapping the next chunk's decode + gather.
     header_text, refs, chunks = iter_bam_raw_chunks(in_path, chunk_records)
     writer = BamStreamWriter(out_path, header_text, refs)
+    wex = ThreadPoolExecutor(1)
+    pending: list = []
+
+    def _rewrite_and_write(buf, offs, sizes, prim, lens, nq):
+        writer.write_raw(rewrite_quals_chunk(buf, offs, sizes, prim,
+                                             lens, nq, set_oq=set_oq))
+
     try:
         for buf, offs, sizes in prefetch_iter(chunks, depth=2):
             codes, quals, mask, rgs, seconds, lens, prim = \
@@ -640,11 +661,14 @@ def recalibrate_bam_stream_resident(
             if prim.size:
                 nq = apply_recal_table_host(recal, codes, quals, mask,
                                             rgs, seconds)
-                writer.write_raw(rewrite_quals_chunk(
-                    buf, offs, sizes, prim, lens, nq, set_oq=set_oq))
+                pending.append(wex.submit(_rewrite_and_write, buf, offs,
+                                          sizes, prim, lens, nq))
             else:
-                writer.write_raw(buf)
+                pending.append(wex.submit(writer.write_raw, buf))
     finally:
+        for f in pending:   # drain queued writes before closing
+            f.result()
+        wex.shutdown(wait=False)
         writer.close()
     _mark("pass4")
 
