@@ -185,3 +185,50 @@ def test_recalibrate_cram_matches_bam_path(tmp_path):
     for ra, rc in zip(a.records, rt.records):
         assert (ra.quals() == rc.quals()).all(), ra.name
         assert rc.get_zstr("OQ") is not None
+
+
+def test_huffman_and_beta_decoders():
+    """Hand-built encoding params + core bitstream: canonical Huffman
+    (multi-symbol) and BETA decode per the spec's bit conventions."""
+    from kbbq_tpu.io.cram import BitReader, Decoder
+    from kbbq_tpu.io.cram_codecs import write_itf8
+
+    # canonical Huffman: syms [5, 6, 7] lens [1, 2, 2]
+    # -> codes: 5=0, 6=10, 7=11
+    def arr(vals):
+        out = write_itf8(len(vals))
+        for v in vals:
+            out += write_itf8(v)
+        return out
+
+    params = arr([5, 6, 7]) + arr([1, 2, 2])
+    # bit stream for symbols 5,6,7,5: 0 10 11 0 -> 0101 1000
+    core = BitReader(bytes([0b01011000]))
+    dec = Decoder((3, params), {}, core)
+    assert [dec.get_int() for _ in range(4)] == [5, 6, 7, 5]
+
+    # BETA: offset 2, 3 bits; values 0b101=5 -> 5-2=3, 0b001=1 -> -1
+    params_b = write_itf8(2) + write_itf8(3)
+    core2 = BitReader(bytes([0b10100100]))
+    dec2 = Decoder((6, params_b), {}, core2)
+    assert dec2.get_int() == 3
+    assert dec2.get_int() == -1
+
+
+def test_byte_array_len_decoder():
+    from kbbq_tpu.io.cram import Decoder, Stream, BitReader
+    from kbbq_tpu.io.cram_codecs import write_itf8
+
+    # lengths EXTERNAL(cid 1), values EXTERNAL(cid 2)
+    def enc_ext(cid):
+        p = write_itf8(cid)
+        return write_itf8(1) + write_itf8(len(p)) + p
+
+    le = enc_ext(1)
+    ve = enc_ext(2)
+    params = le + ve
+    streams = {1: Stream(write_itf8(3) + write_itf8(2)),
+               2: Stream(b"abcde")}
+    dec = Decoder((4, params), streams, BitReader(b""))
+    assert dec.get_bytes() == b"abc"
+    assert dec.get_bytes() == b"de"
