@@ -193,16 +193,40 @@ def _gather_short(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray
     return out
 
 
+def _unique_rows(pad: np.ndarray):
+    """(uniq_rows, first_idx, inverse) for a [n, m] uint8 array.
+
+    np.unique(axis=0) lexsorts column-wise (1.3s at 1.5M rows); viewing
+    each zero-padded row as a few uint64 words makes the sort a memcmp
+    over 1-3 machine words — and the single-RG common case short-
+    circuits to one vector compare."""
+    n, m = pad.shape
+    if n == 0:
+        return pad, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    if (pad == pad[0]).all():
+        return (pad[:1], np.zeros(1, np.int64), np.zeros(n, np.int64))
+    w = -(-m // 8) * 8
+    if w > m:
+        pad = np.concatenate(
+            [pad, np.zeros((n, w - m), np.uint8)], axis=1)
+    rec = np.ascontiguousarray(pad).view(
+        [(f"f{i}", "<u8") for i in range(w // 8)]).reshape(-1)
+    uniq, first, inv = np.unique(rec, return_index=True,
+                                 return_inverse=True)
+    return (pad[first][:, :m], first.astype(np.int64),
+            inv.reshape(-1).astype(np.int64))
+
+
 def rg_ids(buf: np.ndarray, vs: np.ndarray, ve: np.ndarray,
            registry: dict) -> np.ndarray:
     """Dense RG index per record from aux value spans, mapped through
     the scan-built {name: id} registry (missing tag -> "")."""
     pad = _gather_short(buf, vs, ve)
-    uniq, inv = np.unique(pad, axis=0, return_inverse=True)
+    uniq, _, inv = _unique_rows(pad)
     # decode each unique row once (a handful per file)
     lut = np.asarray([registry[bytes(row[row != 0]).decode()]
                       for row in uniq], np.int32)
-    return lut[inv.reshape(-1)]
+    return lut[inv]
 
 
 def decode_machine_chunk(buf: np.ndarray, offs: np.ndarray,
@@ -458,7 +482,7 @@ def scan_chunk(buf: np.ndarray, offs: np.ndarray, sizes: np.ndarray,
     good_idx = np.flatnonzero(~odd)
     if good_idx.size:
         pad = _gather_short(buf, vs[good_idx], ve[good_idx])
-        uniq, first = np.unique(pad, axis=0, return_index=True)
+        uniq, first, _ = _unique_rows(pad)
         for g in range(uniq.shape[0]):
             nm = bytes(uniq[g][uniq[g] != 0]).decode()
             events.append((int(good_idx[first[g]]), nm))
