@@ -51,7 +51,6 @@ def golden_quals(num_reads: int, read_len: int, k: int,
     against it IS oracle parity.  Computed in a subprocess (backend
     choice is process-wide) and cached on disk keyed by parameters.
     """
-    import hashlib
     import os
     import subprocess
 

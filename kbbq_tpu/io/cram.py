@@ -27,7 +27,6 @@ import dataclasses
 import gzip
 import lzma
 import struct
-import zlib
 
 import numpy as np
 

@@ -7,8 +7,6 @@ secondary/supplementary records passed through untouched.
 
 from __future__ import annotations
 
-import sys
-
 import numpy as np
 
 from ..io.bam import (
