@@ -564,13 +564,16 @@ def _permute_rows_mxu(onehot_bf16: jax.Array, x: jax.Array) -> jax.Array:
 
 # default walk width: re-swept on-chip after the skip-run engine +
 # batch-level stacking landed (400k bench, parity-gated): 128: 93.3k,
-# 256: 100.7k, 512: 109.1k, 1024: 116.7-122.7k, 2048: 80.5k reads/s/chip.
-# The skip engine removed the junk-lane round inflation that made wide
-# chunks lose the earlier sweep (64-256 era); per-chunk fixed cost now
-# dominates, so fewer, wider chunks win until round cost (~width-
-# proportional serialized probes) takes over past 1024.  Must divide
+# 256: 100.7k, 512: 109.1k, 1024: 116.7-122.7k, 2048: 80.5k reads/s/chip
+# under the round-2 W=8 ext-cap.  The skip engine removed the junk-lane
+# round inflation that made wide chunks lose the earlier sweep; per-
+# chunk fixed cost now dominates, so fewer, wider chunks win until
+# round cost (~width-proportional serialized probes) takes over.  The
+# round-3 extend-to-k default (W=32, DECISIONS.md D7) raises per-round
+# probe cost 4x, shifting the optimum back down: pass-3 walls 1.71s
+# (512) / 1.80s (1024) / 2.14s (2048) on the same session.  Must divide
 # the batch size (8192).
-WALK_CHUNK = 1024
+WALK_CHUNK = 512
 
 # speculative skip-run pre-screen width (columns ahead of the cursor
 # whose candidate first-windows are queried each round): 3*C extra
