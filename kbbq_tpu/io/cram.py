@@ -27,6 +27,7 @@ import dataclasses
 import gzip
 import lzma
 import struct
+import zlib
 
 import numpy as np
 
@@ -67,6 +68,7 @@ class Block:
 
 
 def read_block(buf, pos):
+    start = pos
     method = buf[pos]
     ctype = buf[pos + 1]
     pos += 2
@@ -75,7 +77,16 @@ def read_block(buf, pos):
     rsize, pos = read_itf8(buf, pos)
     raw = bytes(buf[pos:pos + csize])
     pos += csize
-    pos += 4  # CRC32
+    if pos + 4 > len(buf):
+        raise CRAMError("truncated block")
+    # spec: CRC-32 of all preceding bytes of the block — rejects
+    # truncation/corruption that the entropy coders would otherwise
+    # decode into garbage silently
+    want = int.from_bytes(bytes(buf[pos:pos + 4]), "little")
+    got = zlib.crc32(bytes(buf[start:pos]))
+    if want != got:
+        raise CRAMError("block CRC mismatch")
+    pos += 4
     if method == M_RAW:
         data = raw
     elif method == M_GZIP:

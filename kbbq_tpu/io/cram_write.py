@@ -67,7 +67,8 @@ def _block(method: int, ctype: int, cid: int, raw: bytes) -> bytes:
         data = raw
     out = bytes([method, ctype]) + write_itf8(cid) \
         + write_itf8(len(data)) + write_itf8(len(raw)) + data
-    out += struct.pack("<I", zlib.crc32(data))
+    # spec: CRC-32 of all preceding bytes of the block
+    out += struct.pack("<I", zlib.crc32(out))
     return out
 
 

@@ -232,3 +232,39 @@ def test_byte_array_len_decoder():
     dec = Decoder((4, params), streams, BitReader(b""))
     assert dec.get_bytes() == b"abc"
     assert dec.get_bytes() == b"de"
+
+
+def test_cram_corrupt_inputs_fail_cleanly(tmp_path):
+    """Truncated/corrupted CRAMs raise, never hang or return garbage
+    silently (decoder robustness; the reference's htslib errors too)."""
+    bf = _mixed_records(n=10)
+    p = tmp_path / "ok.cram"
+    write_cram(bf, str(p))
+    blob = bytearray(p.read_bytes())
+
+    bad = tmp_path / "bad.cram"
+    # wrong magic
+    bad.write_bytes(b"XRAM" + bytes(blob[4:]))
+    with pytest.raises(Exception):
+        read_cram(str(bad))
+    # unsupported major version
+    bad.write_bytes(b"CRAM" + bytes([9, 0]) + bytes(blob[6:]))
+    with pytest.raises(CRAMError, match="version"):
+        read_cram(str(bad))
+    # truncations at several depths
+    for cut in (30, 100, len(blob) // 2, len(blob) - 40):
+        bad.write_bytes(bytes(blob[:cut]))
+        with pytest.raises(Exception):
+            read_cram(str(bad))
+    # corrupted compressed payload
+    flip = bytearray(blob)
+    flip[len(flip) // 2] ^= 0xFF
+    bad.write_bytes(bytes(flip))
+    try:
+        got, _ = read_cram(str(bad))
+        # a lucky flip may land in slack space; if it decodes, records
+        # must still be structurally sane
+        for r in got.records:
+            assert r.l_seq >= 0
+    except Exception:
+        pass
