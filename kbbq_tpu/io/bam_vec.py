@@ -388,7 +388,13 @@ def rewrite_quals_chunk(buf: np.ndarray, offs: np.ndarray,
         uniform = (n and prim_rows.size == n
                    and (sizes == sizes[0]).all()
                    and (lens == lens[0]).all()
-                   and ((qoff - offs) == (qoff[0] - offs[0])).all())
+                   and ((qoff - offs) == (qoff[0] - offs[0])).all()
+                   # records must be packed back-to-back from offset 0:
+                   # the reshape below assumes offs[i] == 4 + i*rec — an
+                   # indexed buf not starting at a record boundary would
+                   # otherwise corrupt every record (ADVICE round 3)
+                   and (offs == 4 + np.arange(n, dtype=np.int64)
+                        * (int(sizes[0]) + 4)).all())
         if uniform:
             # fixed-size records: one reshape, column-block writes
             rec = int(sizes[0]) + 4

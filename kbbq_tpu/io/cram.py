@@ -187,9 +187,13 @@ class Decoder:
                 self.const = syms[0]
             else:
                 self.const = None
-                # canonical codes: sorted by (len, symbol order given)
+                # canonical codes: assigned sorting by (bit length,
+                # SYMBOL VALUE) — the CRAM 3.0 / htslib convention.
+                # Sorting ties by transmission index instead decodes a
+                # wrong table for alphabets not stored in ascending
+                # symbol order within a length class (ADVICE round 3).
                 order = sorted(range(len(syms)),
-                               key=lambda i: (lens[i], i))
+                               key=lambda i: (lens[i], syms[i]))
                 code = 0
                 prev_len = 0
                 self.table = {}
@@ -507,6 +511,14 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
                         rb = data_[pos_ref - origin]
                         seq[pos_read] = base_lut[_sub_base(
                             comp.sm, rb, code)]
+                    elif comp.rr:
+                        # an all-featured read never reaches fill_ref
+                        # with a nonzero span, so this path must raise
+                        # the same missing-reference error fill_ref
+                        # does (ADVICE round 3) instead of emitting N
+                        raise CRAMError(
+                            "reference-based CRAM needs --fasta-ref "
+                            "(or an embedded reference)")
                     pos_read += 1
                     pos_ref += 1
                 elif fc == "B":
@@ -611,7 +623,11 @@ def read_cram(path: str, fasta_ref: str | None = None):
             break  # EOF container
         bpos = cont.body_pos
         blocks = []
-        while bpos < end:
+        # read exactly n_blocks blocks: the spec permits trailing
+        # container padding (htslib reserves header-container slack for
+        # in-place updates), which a `while bpos < end` loop would parse
+        # as garbage blocks and reject on CRC (ADVICE round 3)
+        for _ in range(cont.n_blocks):
             b, bpos = read_block(buf, bpos)
             blocks.append(b)
         pos = end

@@ -225,10 +225,18 @@ def recalibrate_cram(in_path: str, out_path, config: RecalConfig,
             str(out_path).endswith(".cram"):
         from ..io.cram_write import write_cram
         # writer needs numeric RG per record (registry order == @RG
-        # order in the decoded header, both first-appearance)
-        rg_of = {rec.name: int(rgs[i]) for i, rec in enumerate(primary)}
+        # order in the decoded header, both first-appearance).  Assign
+        # per RECORD IDENTITY — a name-keyed dict silently gave every
+        # same-named mate/secondary the last primary's RG (ADVICE r3);
+        # non-primary records derive theirs from their own RG:Z tag.
+        for i, rec in enumerate(primary):
+            rec._rg_index = int(rgs[i])
         for rec in bf.records:
-            rec._rg_index = rg_of.get(rec.name, -1)
+            if hasattr(rec, "_rg_index"):
+                continue
+            tag = rec.get_zstr("RG")
+            key = tag.decode() if tag is not None else ""
+            rec._rg_index = registry.get(key, -1)
         write_cram(bf, out_path)
     else:
         data = serialize_bam(bf, compress=True)

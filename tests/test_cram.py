@@ -268,3 +268,91 @@ def test_cram_corrupt_inputs_fail_cleanly(tmp_path):
             assert r.l_seq >= 0
     except Exception:
         pass
+
+
+def test_huffman_canonical_ties_by_symbol():
+    """Canonical code assignment must sort ties by SYMBOL VALUE (the
+    htslib convention), not by transmission index: an alphabet stored
+    out of ascending symbol order within a bit-length class must still
+    decode to the symbol-sorted table (ADVICE round 3)."""
+    from kbbq_tpu.io.cram import BitReader, Decoder
+    from kbbq_tpu.io.cram_codecs import write_itf8
+
+    def arr(vals):
+        out = write_itf8(len(vals))
+        for v in vals:
+            out += write_itf8(v)
+        return out
+
+    # transmission order [7, 5, 6] with lens [2, 1, 2]: canonical by
+    # (len, symbol) gives 5=0, 6=10, 7=11 — index-tied assignment would
+    # swap 6 and 7
+    params = arr([7, 5, 6]) + arr([2, 1, 2])
+    # bit stream 0 10 11 -> 5, 6, 7
+    core = BitReader(bytes([0b01011000]))
+    dec = Decoder((3, params), {}, core)
+    assert [dec.get_int() for _ in range(3)] == [5, 6, 7]
+
+
+def test_cram_container_trailing_padding(tmp_path):
+    """Containers may carry trailing slack after their n_blocks blocks
+    (htslib reserves header-container space for in-place updates); the
+    reader must skip it via n_blocks, not parse it as garbage blocks
+    (ADVICE round 3)."""
+    import struct
+
+    from kbbq_tpu.io.cram import read_container_header
+
+    bf = _mixed_records(n=12)
+    p = tmp_path / "t.cram"
+    write_cram(bf, str(p))
+    blob = bytearray(p.read_bytes())
+
+    # walk to the SECOND container (first data container) and insert
+    # PAD zero bytes of slack at its end, bumping its length field
+    buf = np.frombuffer(bytes(blob), np.uint8)
+    pos = 26
+    cont, _ = read_container_header(buf, pos)     # header container
+    pos = cont.body_pos + cont.length
+    c2_start = pos
+    cont2, _ = read_container_header(buf, pos)
+    c2_end = cont2.body_pos + cont2.length
+    PAD = 37
+    patched = (bytes(blob[:c2_start])
+               + struct.pack("<i", cont2.length + PAD)
+               + bytes(blob[c2_start + 4:c2_end])
+               + b"\x00" * PAD
+               + bytes(blob[c2_end:]))
+    padded = tmp_path / "padded.cram"
+    padded.write_bytes(patched)
+    got, _ = read_cram(str(padded))
+    assert [r.name for r in got.records] == [r.name for r in bf.records]
+    for a, b in zip(bf.records, got.records):
+        assert (a.seq_codes() == b.seq_codes()).all()
+
+
+def test_cram_all_substitution_record_missing_ref_raises(tmp_path):
+    """A reference-based record whose EVERY base is an X substitution
+    never reaches fill_ref with a nonzero span; decoding it without a
+    reference must still raise, not return silent Ns (ADVICE round 3)."""
+    rng = np.random.default_rng(3)
+    ref_codes = rng.integers(0, 4, 200)
+    ref_bytes = np.frombuffer(b"ACGT", np.uint8)[ref_codes].tobytes()
+    L = 40
+    pos = 50
+    codes = ((ref_codes[pos:pos + L] + 1) % 4).astype(np.int8)  # all X
+    quals = rng.integers(0, 45, L).astype(np.uint8)
+    rec = build_record("rX", codes, quals, flag=0, rg=None, refid=0,
+                       pos=pos, cigar=[("M", L)])
+    rec._rg_index = 0
+    hdr = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:200\n@RG\tID:g0\n"
+    bf = BamFile(hdr, [("chr1", 200)], [rec])
+    p = tmp_path / "allx.cram"
+    write_cram(bf, str(p), ref={"chr1": ref_bytes})
+    with pytest.raises(CRAMError, match="fasta-ref"):
+        read_cram(str(p))
+    # sanity: with the reference it decodes exactly
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">chr1\n" + ref_bytes.decode() + "\n")
+    got, _ = read_cram(str(p), fasta_ref=str(fa))
+    assert (got.records[0].seq_codes() == codes).all()
