@@ -23,6 +23,54 @@ def _log(msg):
           flush=True)
 
 
+def _host_env() -> dict:
+    """Fault-storm / hugepage sanity counters (docs/KNOWN_ISSUES.md #12),
+    recorded into the bench JSON so a degraded host session is VISIBLE
+    in the record instead of silently eaten by best-of-3 (round-3
+    VERDICT weak #7).  A healthy session fills fresh anon memory at
+    GB/s; the episodic fault-storm drops the plain-page rate ~40x while
+    the MADV_HUGEPAGE rate stays high."""
+    import numpy as np
+
+    env = {}
+    try:
+        with open("/proc/vmstat") as f:
+            vm = dict(line.split() for line in f if " " in line)
+        env["thp_fault_alloc"] = int(vm.get("thp_fault_alloc", -1))
+        env["pgmajfault"] = int(vm.get("pgmajfault", -1))
+    except Exception:
+        pass
+    try:
+        env["loadavg_1m"] = float(open("/proc/loadavg").read().split()[0])
+    except Exception:
+        pass
+    try:
+        from kbbq_tpu.utils.mem import hugepage_empty
+        sz = 64 << 20
+        w = np.empty(sz, np.uint8)
+        w[:] = 1                       # warm-up: first fill of a fresh
+        del w                          # process is cold for any layout
+        t_plain = t_huge = None
+        for _ in range(2):             # best-of-2: de-noise scheduling
+            a = np.empty(sz, np.uint8)
+            t0 = time.time()
+            a[:] = 1
+            t_plain = min(t_plain or 9e9, time.time() - t0)
+            b = hugepage_empty(sz, np.uint8)
+            t0 = time.time()
+            b[:] = 1
+            t_huge = min(t_huge or 9e9, time.time() - t0)
+        env["fill_mbps_plain"] = round(64 / max(t_plain, 1e-9), 1)
+        env["fill_mbps_huge"] = round(64 / max(t_huge, 1e-9), 1)
+        # the #12 storm signature: plain-page fills collapse ~40x while
+        # hugepage fills stay fast
+        env["fault_storm"] = bool(env["fill_mbps_plain"] < 1000.0
+                                  <= env["fill_mbps_huge"])
+    except Exception:
+        pass
+    return env
+
+
 def _tpu_reachable(timeout_s: int = 240) -> bool:
     """Probe device init in a SUBPROCESS: when the axon relay is dead,
     jax backend discovery hangs the calling process irrecoverably
@@ -514,6 +562,9 @@ def main() -> int:
                     help="BAM->BAM datapoint (BASELINE config 3 shape: "
                          "streamed, --set-oq, half reverse-strand)")
     ap.add_argument("--chunk-reads", type=int, default=131072)
+    ap.add_argument("--resident-only", action="store_true",
+                    help="skip the streamed + BAM datapoints that the "
+                         "default run appends to detail")
     args = ap.parse_args()
     if args.quick:
         args.reads = 50_000
@@ -541,6 +592,7 @@ def main() -> int:
                             ext_cap=args.ext_cap)
         print(json.dumps(result))
         return 0
+    host_env = _host_env()
     result = run(args.reads, args.read_len, args.k, args.batch_size,
                  parity=not args.no_parity,
                  use_pallas=True if args.pallas else None,
@@ -548,6 +600,28 @@ def main() -> int:
                  resident=not args.no_resident,
                  walk_chunk=args.walk_chunk,
                  ext_cap=args.ext_cap)
+    result["detail"]["host_env"] = host_env
+    # the default record carries ALL THREE datapoints (round-3 VERDICT
+    # weak #2: the streamed/BAM numbers were invisible to the driver).
+    # Streamed + BAM run at the same read count so the cached CPU golden
+    # is reused; each adds ~30-90 s of warm runs.
+    if not (args.resident_only or args.profile or args.quick):
+        for name, fn in (
+                ("streamed", lambda: run_stream(
+                    args.reads, args.read_len, args.k, args.batch_size,
+                    parity=not args.no_parity,
+                    chunk_reads=args.chunk_reads,
+                    ext_cap=args.ext_cap)),
+                ("bam", lambda: run_bam(
+                    args.reads, args.read_len, args.k, args.batch_size,
+                    parity=not args.no_parity, ext_cap=args.ext_cap))):
+            try:
+                sub = fn()
+                result["detail"][name] = {
+                    "value": sub["value"], "unit": sub["unit"],
+                    "parity": sub["parity"], "detail": sub["detail"]}
+            except Exception as e:  # a sub-bench must not eat the record
+                result["detail"][name] = {"error": repr(e)}
     print(json.dumps(result))
     return 0
 
