@@ -50,6 +50,13 @@ DEFAULT_SAMPLED_BITS_PER_KEY = 20   # filter A sized for ~0.1% FPR
 DEFAULT_TRUSTED_BITS_PER_KEY = 20   # filter B
 DEFAULT_NUM_HASHES = 7              # probes per key (double hashing)
 MIN_BLOOM_LOG2 = 16                 # never smaller than 64 Ki slots
+# Addressing ceiling of the blocked layout: the 32-bit block hash h1
+# selects one of 2^(log2_m-5) blocks, and device scatter/gather indices
+# are int32 words, so blocks must number < 2^31 -> log2_m <= 36
+# (2^36 slots = 8 GB packed).  Human 30x WGS trusted k-mers (~2.5e9
+# distinct at 20 bits/key ~ 2^35.6 slots) fit; sizing beyond 2^36
+# raises BloomCapacityError (lower bits/key or shard more).
+MAX_BLOOM_LOG2 = 36
 
 # ---------------------------------------------------------------------------
 # Sampling (Appendix A.1): deterministic hash-threshold subsampling.

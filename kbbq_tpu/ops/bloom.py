@@ -49,7 +49,11 @@ def probe_positions(hi: jax.Array, lo: jax.Array, num_hashes: int,
 
 def block_and_offsets_h(h1: jax.Array, h2: jax.Array, num_hashes: int,
                         log2_m: int):
-    """(block [...], off [..., h]) from precomputed (h1, h2) hashes."""
+    """(block [...], off [..., h]) from precomputed (h1, h2) hashes.
+
+    block is int32: valid through log2_m = 36 (< 2^31 blocks), the
+    layout's addressing ceiling (constants.MAX_BLOOM_LOG2)."""
+    assert log2_m <= 36, "block indices overflow int32 past 2^36 slots"
     block = (h1 & _u32((1 << (log2_m - 5)) - 1)).astype(jnp.int32)
     return block, hash_offsets(h2, num_hashes)
 
@@ -70,6 +74,9 @@ def bloom_insert(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     m = slots.shape[0]
     log2_m = int(m).bit_length() - 1
     assert (1 << log2_m) == m, "bloom size must be a power of two"
+    # int32 slot positions: the staging layout caps at 2^31 slots; the
+    # dense/packed builds (probe_words + bloom_rows_dense) go to 2^36
+    assert log2_m <= 31, "staging insert overflows int32 slot positions"
     pos = probe_positions(hi, lo, num_hashes, log2_m).astype(jnp.int32)
     oob = jnp.int32(m)
     pos = jnp.where(mask[..., None], pos, oob)
@@ -98,6 +105,7 @@ def bloom_insert_rows(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     m = slots.shape[0]
     log2_m = int(m).bit_length() - 1
     assert (1 << log2_m) == m and m % 128 == 0
+    assert log2_m <= 31, "staging insert overflows int32 slot positions"
     block, off = block_and_offsets(hi, lo, num_hashes, log2_m)
     block = block.reshape(-1)
     off = off.reshape(-1, num_hashes)
@@ -119,12 +127,11 @@ def bloom_insert_rows(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     return out.reshape(m)
 
 
-def probe_words(hi: jax.Array, lo: jax.Array, num_hashes: int,
-                log2_m: int):
-    """(block, word) per k-mer: the packed-row word index and the 32-bit
-    OR of its probe bits — same bit layout as bloom_rows(bloom_insert's
-    staging), i.e. packed[block] |= word reproduces the filter."""
-    h1, h2 = kmer_hashes(hi, lo)
+def probe_words_h(h1: jax.Array, h2: jax.Array, num_hashes: int,
+                  log2_m: int):
+    """probe_words from precomputed (h1, h2) hashes (uint32 block —
+    valid through the log2_m = 36 addressing ceiling)."""
+    assert log2_m <= 36
     block = h1 & _u32((1 << (log2_m - 5)) - 1)
     w = jnp.zeros_like(h2)
     for j in range(num_hashes):
@@ -132,6 +139,15 @@ def probe_words(hi: jax.Array, lo: jax.Array, num_hashes: int,
         rot = (h2 >> s) | (h2 << ((_u32(32) - s) & _u32(31)))
         w = w | (_u32(1) << (rot & _u32(31)))
     return block, w
+
+
+def probe_words(hi: jax.Array, lo: jax.Array, num_hashes: int,
+                log2_m: int):
+    """(block, word) per k-mer: the packed-row word index and the 32-bit
+    OR of its probe bits — same bit layout as bloom_rows(bloom_insert's
+    staging), i.e. packed[block] |= word reproduces the filter."""
+    h1, h2 = kmer_hashes(hi, lo)
+    return probe_words_h(h1, h2, num_hashes, log2_m)
 
 
 def bloom_rows_dense(block: jax.Array, w: jax.Array, mask: jax.Array,
@@ -184,8 +200,16 @@ def bloom_rows_dense_prefixed(block: jax.Array, w: jax.Array,
     return _rows_from_sorted(bs[:P], ws[:P], M), cnt
 
 
-def _rows_from_sorted(bs: jax.Array, ws: jax.Array, M: int) -> jax.Array:
-    """Packed rows from block-sorted (bs, ws) pairs (sentinel M last)."""
+def sorted_unique_pairs(bs: jax.Array, ws: jax.Array, M: int):
+    """(kp int32 [P], vp u32 [P]) unique block -> OR(words) pairs from
+    block-sorted (bs, ws) with sentinel M sorting last; P = min(M+1, n).
+    Sentinel entries keep key M (>= M, out of bounds for an [M]
+    scatter in drop mode).  Shared by the single-array packed build and
+    the sharded per-shard OR-merge."""
+    # sentinel M must stay a positive int32 (the scatter's sorted-hint
+    # requires monotone indices): single-ARRAY builds cap at 2^35 slots
+    # (M = 2^30 words); a log2_m = 36 filter builds per shard
+    assert M < (1 << 31), "single-array build caps at 2^35 slots"
     n = bs.shape[0]
     # segmented inclusive OR-scan, manual Hillis-Steele (log2 n static
     # shifts; lax.associative_scan's recursive build did not finish
@@ -207,7 +231,12 @@ def _rows_from_sorted(bs: jax.Array, ws: jax.Array, M: int) -> jax.Array:
     P = min(M + 1, n)        # at most one segment-last per block value
     kp = ks[:P].astype(jnp.int32)               # ascending, uniques first
     vp = vs[:P]
-    kp, vp = jax.lax.optimization_barrier((kp, vp))
+    return jax.lax.optimization_barrier((kp, vp))
+
+
+def _rows_from_sorted(bs: jax.Array, ws: jax.Array, M: int) -> jax.Array:
+    """Packed rows from block-sorted (bs, ws) pairs (sentinel M last)."""
+    kp, vp = sorted_unique_pairs(bs, ws, M)
     return jnp.zeros(M, _u32).at[kp].set(
         vp, mode="drop", indices_are_sorted=True, unique_indices=False)
 

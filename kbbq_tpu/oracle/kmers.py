@@ -140,16 +140,21 @@ def kmer_hashes(hi: np.ndarray, lo: np.ndarray):
 def probe_positions(h1: np.ndarray, h2: np.ndarray, num_hashes: int, log2_m: int):
     """BLOCKED probe slots (D3): block = h1 & (R-1) with R = 2^log2_m / 32;
     off_i = rotr32(h2, (5i) & 31) & 31; slot = block*32 + off_i.
-    Returns uint32 [..., num_hashes].  All probes share one 32-byte line.
+    Returns uint32 [..., num_hashes] (int64 past 2^32 slots: slot values
+    no longer fit 32 bits; block selection stays identical 32-bit math).
+    All probes share one 32-byte line.  log2_m caps at MAX_BLOOM_LOG2
+    (= 36): blocks must number < 2^31 for device int32 word indices.
     """
     h1 = np.asarray(h1, dtype=_U32)
     h2 = np.asarray(h2, dtype=_U32)
-    block = h1 & _U32((1 << (log2_m - 5)) - 1)
+    block = h1 & _U32((1 << min(log2_m - 5, 32)) - 1)
     s = (np.arange(num_hashes, dtype=_U32) * _U32(5)) & _U32(31)
     with np.errstate(over="ignore"):
         rot = ((h2[..., None] >> s) |
                (h2[..., None] << ((_U32(32) - s) & _U32(31))))
     off = rot & _U32(31)
+    if log2_m > 32:
+        return (block[..., None].astype(np.int64) << 5) | off
     return (block[..., None] << _U32(5)) | off
 
 

@@ -52,6 +52,9 @@ class OracleConfig:
     trusted_bits_per_key: int = DEFAULT_TRUSTED_BITS_PER_KEY
     trust_threshold: int | None = None  # None -> k (D6)
     ext_cap: int | None = None          # None -> DEFAULT_EXT_CAP (D7)
+    # floor on both filters' log2_m (WGS pre-sizing / capacity tests);
+    # part of the bit-exact spec — oracle and device must agree
+    min_log2_m: int | None = None
 
     def resolve(self, total_bases: int):
         cov = self.coverage
@@ -80,6 +83,25 @@ def expected_bloom_keys(total_kmers: int, alpha: float, coverage: float):
     n_a = max(1, min(int(alpha * total_kmers), distinct))
     n_b = max(1, min(total_kmers, distinct))
     return n_a, n_b
+
+
+def bloom_params_for(config, total_kmers: int, alpha: float,
+                     coverage: float):
+    """(params_a, params_b) for a config (OracleConfig or the device
+    RecalConfig — duck-typed on the shared sizing fields).  THE single
+    sizing path for every pipeline: key estimates via
+    expected_bloom_keys, the config's min_log2_m floor applied to both
+    filters, and the global 2^MAX_BLOOM_LOG2 addressing ceiling
+    enforced (BloomCapacityError past it — never a silent clamp)."""
+    n_a, n_b = expected_bloom_keys(total_kmers, alpha, coverage)
+    floor = getattr(config, "min_log2_m", None) or 0
+    params_a = BloomParams.for_keys(
+        n_a, config.sampled_bits_per_key, config.num_hashes,
+        min_log2=floor)
+    params_b = BloomParams.for_keys(
+        n_b, config.trusted_bits_per_key, config.num_hashes,
+        min_log2=floor)
+    return params_a, params_b
 
 
 @dataclasses.dataclass
@@ -113,11 +135,8 @@ def recalibrate_reads(batch: ReadBatch, config: OracleConfig = OracleConfig()):
     thresh = alpha_threshold(alpha)
 
     total_kmers = sum(max(0, len(c) - k + 1) for c in batch.codes)
-    n_a, n_b = expected_bloom_keys(total_kmers, alpha, cov)
-    sampled_params = BloomParams.for_keys(
-        n_a, config.sampled_bits_per_key, config.num_hashes)
-    trusted_params = BloomParams.for_keys(
-        n_b, config.trusted_bits_per_key, config.num_hashes)
+    sampled_params, trusted_params = bloom_params_for(
+        config, total_kmers, alpha, cov)
 
     # PASS 1: subsample -> Bloom A (per-occurrence Bernoulli, D5)
     bloom_a = OracleBloom(sampled_params)

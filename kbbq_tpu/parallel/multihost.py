@@ -137,10 +137,8 @@ class MultihostRecalPipeline:
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..oracle.bloom import BloomParams
         from ..oracle.kmers import alpha_threshold
         from ..oracle.lighter import coverage_thresholds
-        from ..oracle.pipeline import expected_bloom_keys
         from ..ops.covariate import new_covariate_state
         from ..state.covariate import CovariateAccumulator
         from .sharded import build_sharded_steps
@@ -165,12 +163,15 @@ class MultihostRecalPipeline:
         self._NS = NamedSharding
         self.t_table = self._replicate(jnp.asarray(
             coverage_thresholds(self.alpha, config.k), dtype=jnp.int32))
-        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
-                                       self.coverage)
-        self.params_a = BloomParams.for_keys(
-            n_a, config.sampled_bits_per_key, config.num_hashes)
-        self.params_b = BloomParams.for_keys(
-            n_b, config.trusted_bits_per_key, config.num_hashes)
+        from ..oracle.bloom import check_layout_capacity
+        from ..oracle.pipeline import bloom_params_for
+        self.params_a, self.params_b = bloom_params_for(
+            config, total_kmers, self.alpha, self.coverage)
+        for p in (self.params_a, self.params_b):
+            # multi-host replicated byte staging per chip (the sharded
+            # hash-space layout is single-host today)
+            check_layout_capacity(p, 31, "multi-host replicated",
+                                  "lower bits/key or split the input")
         self.steps = build_sharded_steps(mesh, config.k, config.num_hashes,
                                          config.trust_threshold,
                                          config.ext_cap)

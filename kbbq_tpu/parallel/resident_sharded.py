@@ -225,10 +225,14 @@ def recalibrate_arrays_resident_sharded(
     alpha, coverage = config.resolve_alpha(total_bases)
     threshold = jnp.uint32(alpha_threshold(alpha))
     t_table = jnp.asarray(coverage_thresholds(alpha, k), dtype=jnp.int32)
-    from ..oracle.pipeline import expected_bloom_keys
-    n_a, n_b = expected_bloom_keys(total_kmers, alpha, coverage)
-    params_a = BloomParams.for_keys(n_a, config.sampled_bits_per_key, h)
-    params_b = BloomParams.for_keys(n_b, config.trusted_bits_per_key, h)
+    from ..oracle.bloom import check_layout_capacity
+    from ..oracle.pipeline import bloom_params_for
+    params_a, params_b = bloom_params_for(config, total_kmers, alpha,
+                                          coverage)
+    for p in (params_a, params_b):
+        # replicated dense builds: packed rows per chip (m/8 bytes)
+        check_layout_capacity(p, 33, "replicated resident",
+                              "use --bloom-layout sharded")
 
     # pad rows to a whole number of GLOBAL batches (D * Bd)
     nb = max(1, (N + B - 1) // B)

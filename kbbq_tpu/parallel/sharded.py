@@ -137,13 +137,14 @@ class ShardedRecalPipeline:
         self.threshold = jnp.uint32(alpha_threshold(self.alpha))
         self.t_table = self._replicate(jnp.asarray(
             coverage_thresholds(self.alpha, config.k), dtype=jnp.int32))
-        from ..oracle.pipeline import expected_bloom_keys
-        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
-                                       self.coverage)
-        self.params_a = BloomParams.for_keys(
-            n_a, config.sampled_bits_per_key, config.num_hashes)
-        self.params_b = BloomParams.for_keys(
-            n_b, config.trusted_bits_per_key, config.num_hashes)
+        from ..oracle.bloom import check_layout_capacity
+        from ..oracle.pipeline import bloom_params_for
+        self.params_a, self.params_b = bloom_params_for(
+            config, total_kmers, self.alpha, self.coverage)
+        for p in (self.params_a, self.params_b):
+            # replicated byte staging per chip: 2^31 slots = 2 GiB each
+            check_layout_capacity(p, 31, "replicated",
+                                  "use --bloom-layout sharded")
         self.steps = build_sharded_steps(self.mesh, config.k,
                                          config.num_hashes,
                                          config.trust_threshold,

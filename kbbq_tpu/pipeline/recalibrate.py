@@ -50,6 +50,10 @@ class RecalConfig:
     trusted_bits_per_key: int = DEFAULT_TRUSTED_BITS_PER_KEY
     trust_threshold: int | None = None
     ext_cap: int | None = None   # None -> DEFAULT_EXT_CAP (D7)
+    # floor on both filters' log2_m (WGS pre-sizing / capacity tests);
+    # bit-exact-spec relevant: filter size changes FP sets, so the
+    # oracle twin (OracleConfig.min_log2_m) must be set identically
+    min_log2_m: int | None = None
     batch_size: int = 512
     # walk width for pass-3 error inference (None -> ops.inference
     # WALK_CHUNK).  Wider walks amortize per-round dispatch overhead
@@ -123,13 +127,18 @@ class RecalPipeline:
         self.threshold = jnp.uint32(alpha_threshold(self.alpha))
         self.t_table = jnp.asarray(
             coverage_thresholds(self.alpha, config.k), dtype=jnp.int32)
-        from ..oracle.pipeline import expected_bloom_keys
-        n_a, n_b = expected_bloom_keys(total_kmers, self.alpha,
-                                       self.coverage)
-        self.bloom_a = BloomState.empty(BloomParams.for_keys(
-            n_a, config.sampled_bits_per_key, config.num_hashes))
-        self.bloom_b = BloomState.empty(BloomParams.for_keys(
-            n_b, config.trusted_bits_per_key, config.num_hashes))
+        from ..oracle.bloom import check_layout_capacity
+        from ..oracle.pipeline import bloom_params_for
+        params_a, params_b = bloom_params_for(config, total_kmers,
+                                              self.alpha, self.coverage)
+        for p in (params_a, params_b):
+            # byte-per-slot staging: 2^31 slots = 2 GiB staging per filter
+            check_layout_capacity(
+                p, 31, "batched staging",
+                "use the streaming driver (dense builds) or "
+                "--devices N --bloom-layout sharded")
+        self.bloom_a = BloomState.empty(params_a)
+        self.bloom_b = BloomState.empty(params_b)
         self.cov = CovariateAccumulator(
             num_rg, max_len, config.batch_size * max_len)
         self.recal_table = None
@@ -330,18 +339,14 @@ def run_pipeline(arrays: ReadArrays, config: RecalConfig,
     mesh = make_mesh(devices)
 
     if bloom_layout == "auto":
-        from ..oracle.pipeline import expected_bloom_keys
+        from ..oracle.pipeline import bloom_params_for
         k = config.k
         lens = arrays.mask.sum(axis=1)
         total_kmers = int(np.maximum(lens - k + 1, 0).sum())
         alpha, coverage = config.resolve_alpha(int(lens.sum()))
-        n_a, n_b = expected_bloom_keys(total_kmers, alpha, coverage)
-        m_a = BloomParams.for_keys(n_a, config.sampled_bits_per_key,
-                                   config.num_hashes).m
-        m_b = BloomParams.for_keys(n_b, config.trusted_bits_per_key,
-                                   config.num_hashes).m
+        pa, pb = bloom_params_for(config, total_kmers, alpha, coverage)
         bloom_layout = ("replicated"
-                        if m_a + m_b <= REPLICATED_BLOOM_BUDGET
+                        if pa.m + pb.m <= REPLICATED_BLOOM_BUDGET
                         else "sharded")
     if bloom_layout == "replicated":
         # device-resident sharded fast path (one jit per pass, dense

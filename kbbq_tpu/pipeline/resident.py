@@ -541,10 +541,9 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     alpha, coverage = config.resolve_alpha(total_bases)
     threshold = jnp.uint32(alpha_threshold(alpha))
     t_table = jnp.asarray(coverage_thresholds(alpha, k), dtype=jnp.int32)
-    from ..oracle.pipeline import expected_bloom_keys
-    n_a, n_b = expected_bloom_keys(total_kmers, alpha, coverage)
-    params_a = BloomParams.for_keys(n_a, config.sampled_bits_per_key, h)
-    params_b = BloomParams.for_keys(n_b, config.trusted_bits_per_key, h)
+    from ..oracle.pipeline import bloom_params_for
+    params_a, params_b = bloom_params_for(config, total_kmers, alpha,
+                                          coverage)
 
     # the Pallas walk round kernel pins the packed trusted filter in
     # VMEM (~16 MB/core on v5e) alongside ~1 MB of chunk state
@@ -559,6 +558,14 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     n_kmer_slots = nb * ((arrays.max_len - k + 1) if arrays.max_len >= k
                          else 0) * B
     dense = 0 < n_kmer_slots * 9 <= DENSE_BUILD_BUDGET
+    from ..oracle.bloom import check_layout_capacity
+    for p in (params_a, params_b):
+        # dense builds hold only packed rows (m/8 bytes); the scatter
+        # fallback stages a byte per slot
+        check_layout_capacity(
+            p, 33 if dense else 31, "single-chip resident",
+            "use the streaming driver or --devices N "
+            "--bloom-layout sharded")
 
     # h2d/pass-1 overlap: as each codes slice lands, chain its sampled
     # k-mer compute (dense) or inserts (scatter path) — transfer of

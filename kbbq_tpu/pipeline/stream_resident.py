@@ -254,13 +254,17 @@ class StreamResidentEngine:
         self.threshold = jnp.uint32(alpha_threshold(self.alpha))
         self.t_table = jnp.asarray(
             coverage_thresholds(self.alpha, k), dtype=jnp.int32)
-        from ..oracle.pipeline import expected_bloom_keys
-        n_a, n_b = expected_bloom_keys(source.total_kmers(k), self.alpha,
-                                       self.coverage)
-        self.params_a = BloomParams.for_keys(
-            n_a, config.sampled_bits_per_key, config.num_hashes)
-        self.params_b = BloomParams.for_keys(
-            n_b, config.trusted_bits_per_key, config.num_hashes)
+        from ..oracle.bloom import check_layout_capacity
+        from ..oracle.pipeline import bloom_params_for
+        self.params_a, self.params_b = bloom_params_for(
+            config, source.total_kmers(k), self.alpha, self.coverage)
+        for p in (self.params_a, self.params_b):
+            # dense windowed builds keep only packed rows on device:
+            # 2^33 slots = 1 GiB packed per filter (chr20-class 2^31
+            # filters are 256 MiB; human WGS needs the sharded layout)
+            check_layout_capacity(
+                p, 33, "single-chip streaming",
+                "use --devices N --bloom-layout sharded")
         self.la = int(self.params_a.m).bit_length() - 1
         self.lb = int(self.params_b.m).bit_length() - 1
         self.rows_a = None

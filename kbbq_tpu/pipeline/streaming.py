@@ -56,14 +56,10 @@ def _make_pipeline(config: RecalConfig, num_rg: int, max_len: int,
     mesh = make_mesh(devices)
     if bloom_layout == "auto":
         alpha, coverage = config.resolve_alpha(total_bases)
-        from ..oracle.pipeline import expected_bloom_keys
-        n_a, n_b = expected_bloom_keys(total_kmers, alpha, coverage)
-        m_a = BloomParams.for_keys(n_a, config.sampled_bits_per_key,
-                                   config.num_hashes).m
-        m_b = BloomParams.for_keys(n_b, config.trusted_bits_per_key,
-                                   config.num_hashes).m
+        from ..oracle.pipeline import bloom_params_for
+        pa, pb = bloom_params_for(config, total_kmers, alpha, coverage)
         bloom_layout = ("replicated"
-                        if m_a + m_b <= REPLICATED_BLOOM_BUDGET
+                        if pa.m + pb.m <= REPLICATED_BLOOM_BUDGET
                         else "sharded")
     if bloom_layout == "replicated":
         from ..parallel.sharded import ShardedRecalPipeline
