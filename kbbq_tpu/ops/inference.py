@@ -269,9 +269,57 @@ def _walk_loop(query_fn, j0, st0, *, k, n, L, rev_ties,
         # only the first W windows are queried (ext caps at W, D7): the
         # serialized TPU gather dominates round cost, so probe traffic
         # shrinks k/W-fold; lanes are still patched for all k windows
-        q = query_fn(chi[:, :, :W], clo[:, :, :W])          # [B, 3, W]
-        q = q & wvalid[:, None, :W] & \
-            (tw_vec[None] < (n - jc)[:, None, None])
+        in_w = wvalid[:, None, :W] & \
+            (tw_vec[None] < (n - jc)[:, None, None])        # [B, 3*, W]
+        if STAGED_QUERY and W >= 2:
+            # STAGED candidate probing (round-4): ext is a LEADING-true
+            # count, so a candidate failing its FIRST window has ext 0
+            # exactly — and on typical data the 2 wrong substitutions
+            # die there.  Stage A probes window 0 of all 3 candidates
+            # (3 probes/lane); stage B extends windows 1..W-1 of the
+            # ALIVE candidates only: usually exactly one per lane
+            # ([B, W-1]), all three when any lane keeps >=2 alive (a
+            # globally-agreed cond — real branching repeats / filter
+            # FPs), nothing when no lane has an alive candidate.  The
+            # composite q equals the old [B, 3, W] query bit-for-bit
+            # (alive rows get their real windows, dead rows have
+            # ext < 1 so their tail is never read), at ~(3+W)/(3W) of
+            # the serialized probe traffic of the round's hot gather.
+            # reduce_any keeps the branch choice rendezvous-safe when
+            # query_fn carries collectives (sharded pipeline).
+            qA = query_fn(chi[:, :, :1], clo[:, :, :1]) & in_w[:, :, :1]
+            alive = qA[:, :, 0]                             # [B, 3]
+            nalive = jnp.sum(alive.astype(_i32), axis=1)
+
+            def wideq(_):
+                return query_fn(chi[:, :, 1:W], clo[:, :, 1:W])
+
+            def narrowq(_):
+                ci = jnp.argmax(alive, axis=1).astype(_i32)  # [B]
+
+                def pick_c(stacked):            # [B, 3, W-1] -> [B, W-1]
+                    out = stacked[:, 0]
+                    for c in range(1, 3):
+                        out = jnp.where(ci[:, None] == c,
+                                        stacked[:, c], out)
+                    return out
+
+                qn = query_fn(pick_c(chi[:, :, 1:W]),
+                              pick_c(clo[:, :, 1:W]))        # [B, W-1]
+                return (c3_iota[None, :, None] == ci[:, None, None]) \
+                    & qn[:, None, :]
+
+            def zeroq(_):
+                return jnp.zeros((B, 3, W - 1), bool)
+
+            qB = jax.lax.cond(
+                reduce_any(nalive >= 1),
+                lambda a: jax.lax.cond(reduce_any(nalive >= 2),
+                                       wideq, narrowq, a),
+                zeroq, None) & in_w[:, :, 1:]
+            q = jnp.concatenate([qA, qB], axis=2)           # [B, 3, W]
+        else:
+            q = query_fn(chi[:, :, :W], clo[:, :, :W]) & in_w
         ext = _leading_true(q)                              # [B, 3]
 
         # RC walk: ties -> largest RC code == smallest original code.
@@ -595,6 +643,13 @@ SKIP_COLS = int(_os.environ.get("KBBQ_SKIP_COLS", "16"))
 # rounds with skip-all at identical output bits, while the pre-screen's
 # extra probes never measured above noise on v5e.
 SKIP_HARD_T = int(_os.environ.get("KBBQ_SKIP_HARD_T", "0"))
+
+# staged candidate probing (see the _walk_loop round body): stage A
+# probes each candidate's FIRST window only, stage B extends the alive
+# ones.  Cuts the round's dominant serialized gather from 3W to ~3+W
+# probes/lane at identical output bits.  KBBQ_STAGED=0 restores the
+# monolithic [B, 3, W] query for sweeps.
+STAGED_QUERY = _os.environ.get("KBBQ_STAGED", "1") == "1"
 
 
 def infer_errors_chunked(rows, codes, k: int, num_hashes: int,

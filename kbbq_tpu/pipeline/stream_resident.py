@@ -124,6 +124,50 @@ def _p2_window(rows_a, rows_b, codes, t_table, *, k, num_hashes,
     return rows_b | rows_w
 
 
+class _HostChunkCache:
+    """Budget-gated memoization of a window source's decoded chunks.
+
+    The round-3 BAM datapoint paid a full file re-decode per pass
+    (~3.3 s/sweep at 1.5M records) because only the DEVICE window cache
+    existed; this is its host twin (round-3 VERDICT next-round item 5).
+    Inputs whose decoded chunks exceed the budget
+    (KBBQ_STREAM_HOST_CACHE_BYTES, default 8 GB — the WGS case) drop
+    the cache and re-stream every pass exactly as before, keeping the
+    engine's bounded-memory promise."""
+
+    def __init__(self, budget: int):
+        self.budget = budget
+        self.items: list = []
+        self.nbytes = 0
+        self.complete = False
+        self.enabled = budget > 0
+
+    def restart(self):
+        """A fresh stream begins: drop any partial fill."""
+        if not self.complete:
+            self.items.clear()
+            self.nbytes = 0
+
+    def add(self, item, nbytes: int) -> None:
+        if not self.enabled or self.complete:
+            return
+        self.nbytes += int(nbytes)
+        if self.nbytes > self.budget:
+            self.items.clear()
+            self.enabled = False
+            return
+        self.items.append(item)
+
+    def finish(self) -> None:
+        if self.enabled:
+            self.complete = True
+
+
+def _host_cache_budget() -> int:
+    import os
+    return int(os.environ.get("KBBQ_STREAM_HOST_CACHE_BYTES", 8 << 30))
+
+
 def _npos_bucket(n: int) -> int:
     """Pad sparse-N position lists to power-of-two buckets so window
     jits don't recompile per distinct N count."""
@@ -146,17 +190,34 @@ class FastqWindowSource:
         self.num_rg = len(self.in_paths)
         self.max_len = scan.max_len
         self.total_bases = scan.total_bases
+        self._cache = _HostChunkCache(_host_cache_budget())
 
     def total_kmers(self, k: int) -> int:
         return self.scan.total_kmers(k)
 
-    def chunks(self):
+    def full_chunks(self):
+        """(fi, fq, arrs, ordinal) per chunk, memoized under the host
+        cache budget — passes after the first stop paying the file
+        read + parse + extract (pass 4 also reuses fq for the write)."""
+        if self._cache.complete:
+            yield from self._cache.items
+            return
+        self._cache.restart()
         ordinal = 0
         for fi, path in enumerate(self.in_paths):
             for fq in iter_fastq_chunks(path, self.chunk_reads):
-                yield chunk_to_batch_arrays(fq, self.max_len, fi, ordinal,
-                                            self.interleaved), ordinal
+                arrs = chunk_to_batch_arrays(fq, self.max_len, fi,
+                                             ordinal, self.interleaved)
+                item = (fi, fq, arrs, ordinal)
+                self._cache.add(item, fq.buf.nbytes
+                                + sum(a.nbytes for a in arrs))
+                yield item
                 ordinal += fq.num_reads
+        self._cache.finish()
+
+    def chunks(self):
+        for fi, fq, arrs, ordinal in self.full_chunks():
+            yield arrs, ordinal
 
 
 def rebuffer_windows(chunk_iter, window: int):
@@ -216,18 +277,35 @@ class BamWindowSource:
         self.use_oq = use_oq
         self.chunk_records = int(chunk_records)
         self.window_reads = int(window_reads)
+        self._cache = _HostChunkCache(_host_cache_budget())
 
     def total_kmers(self, k: int) -> int:
         return self._tk
 
-    def _decoded(self):
+    def raw_chunks_decoded(self):
+        """(buf, offs, sizes, decoded) per raw chunk, memoized under
+        the host cache budget — the BGZF inflate + record decode ran
+        once per PASS before (round-3 BAM weak #4); pass 4 reuses the
+        raw buf for the in-buffer qual rewrite."""
+        if self._cache.complete:
+            yield from self._cache.items
+            return
         from ..io.bam_stream import iter_bam_raw_chunks
         from ..io.bam_vec import decode_machine_chunk
+        self._cache.restart()
         _, _, chunks = iter_bam_raw_chunks(self.path, self.chunk_records)
         for buf, offs, sizes in chunks:
-            codes, quals, mask, rgs, seconds, _, prim = \
-                decode_machine_chunk(buf, offs, sizes, self.max_len,
-                                     self.registry, use_oq=self.use_oq)
+            dec = decode_machine_chunk(buf, offs, sizes, self.max_len,
+                                       self.registry, use_oq=self.use_oq)
+            item = (buf, offs, sizes, dec)
+            self._cache.add(item, buf.nbytes
+                            + sum(np.asarray(a).nbytes for a in dec))
+            yield item
+        self._cache.finish()
+
+    def _decoded(self):
+        for buf, offs, sizes, dec in self.raw_chunks_decoded():
+            codes, quals, mask, rgs, seconds, _, prim = dec
             if prim.size:
                 yield codes, quals, mask, rgs, seconds
 
@@ -515,19 +593,12 @@ def recalibrate_fastq_stream_resident(
     wex = ThreadPoolExecutor(1)
     pending: list = []
     try:
-        def chunks():
-            ordinal = 0
-            for fi, path in enumerate(in_paths):
-                for fq in iter_fastq_chunks(path, chunk_reads):
-                    yield fi, fq, ordinal
-                    ordinal += fq.num_reads
-
-        for fi, fq, ordinal in prefetch_iter(chunks(), depth=2):
+        for fi, fq, arrs, ordinal in prefetch_iter(src.full_chunks(),
+                                                   depth=2):
             if chunk_idx < done_chunks:
                 chunk_idx += 1
                 continue
-            codes, quals, mask, rgs, seconds, _ = chunk_to_batch_arrays(
-                fq, scan.max_len, fi, ordinal, interleaved)
+            codes, quals, mask, rgs, seconds, _ = arrs
             nq = apply_recal_table_host(recal, codes, quals, mask, rgs,
                                         seconds)
             sink = sinks[0] if single_sink else sinks[fi]
@@ -581,7 +652,7 @@ def recalibrate_bam_stream_resident(
         BamStreamWriter,
         iter_bam_raw_chunks,
     )
-    from ..io.bam_vec import decode_machine_chunk, rewrite_quals_chunk
+    from ..io.bam_vec import rewrite_quals_chunk
     from .bam import scan_bam
 
     t_last = [_time.time()]
@@ -644,11 +715,12 @@ def recalibrate_bam_stream_resident(
     recal = eng.compute_recal_table()
     _mark("deltas")
 
-    # pass 4: raw-chunk decode + host gather + in-buffer rewrite; the
-    # whole chunk (secondary/supplementary included) streams out
-    # verbatim.  The rewrite + BGZF deflate run write-behind on a
-    # worker thread, overlapping the next chunk's decode + gather.
-    header_text, refs, chunks = iter_bam_raw_chunks(in_path, chunk_records)
+    # pass 4: cached-or-streamed raw chunks + host gather + in-buffer
+    # rewrite; the whole chunk (secondary/supplementary included)
+    # streams out verbatim.  The rewrite + BGZF deflate run
+    # write-behind on a worker thread, overlapping the next chunk's
+    # gather (and decode, when the host cache is over budget).
+    header_text, refs, _ = iter_bam_raw_chunks(in_path, 1)
     writer = BamStreamWriter(out_path, header_text, refs)
     wex = ThreadPoolExecutor(1)
     pending: list = []
@@ -658,10 +730,9 @@ def recalibrate_bam_stream_resident(
                                              lens, nq, set_oq=set_oq))
 
     try:
-        for buf, offs, sizes in prefetch_iter(chunks, depth=2):
-            codes, quals, mask, rgs, seconds, lens, prim = \
-                decode_machine_chunk(buf, offs, sizes, max_len,
-                                     registry, use_oq=use_oq)
+        for buf, offs, sizes, dec in prefetch_iter(
+                src.raw_chunks_decoded(), depth=2):
+            codes, quals, mask, rgs, seconds, lens, prim = dec
             if prim.size:
                 nq = apply_recal_table_host(recal, codes, quals, mask,
                                             rgs, seconds)

@@ -378,3 +378,41 @@ def test_stream_window_cache_invariance(tmp_path, monkeypatch):
                                           chunk_reads=97)
         outs.append(o.read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_host_chunk_cache_invariance(tmp_path, monkeypatch):
+    """Host chunk cache (round-4): cached replay, the over-budget
+    mid-fill drop, and cache-off must all be byte-identical for FASTQ
+    and BAM — the cache is pure memoization of the per-pass decode."""
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+    from kbbq_tpu.pipeline.stream_resident import (
+        recalibrate_bam_stream_resident,
+        recalibrate_fastq_stream_resident,
+    )
+
+    ds = make_dataset(genome_len=1200, read_len=55, coverage=18.0,
+                      error_rate=0.02, seed=91)
+    p = tmp_path / "in.fq"
+    p.write_bytes(to_fastq_bytes(ds))
+    recs = [build_record(f"r{i}", np.asarray(c), np.asarray(q, np.uint8),
+                         flag=0, rg="g0")
+            for i, (c, q) in enumerate(zip(ds.codes, ds.quals))]
+    pb = tmp_path / "in.bam"
+    pb.write_bytes(serialize_bam(BamFile("@HD\tVN:1.6\n", [], recs)))
+
+    cfg = RecalConfig(k=16, coverage=18.0, batch_size=64)
+    fq_outs, bam_outs = [], []
+    # 100k: fills a few chunks then overflows mid-stream (partial drop);
+    # 0: disabled; default: fully cached
+    for budget in ("0", "100000", str(8 << 30)):
+        monkeypatch.setenv("KBBQ_STREAM_HOST_CACHE_BYTES", budget)
+        o = tmp_path / f"hf{budget}.fq"
+        recalibrate_fastq_stream_resident([str(p)], str(o), cfg,
+                                          chunk_reads=83)
+        fq_outs.append(o.read_bytes())
+        ob = tmp_path / f"hb{budget}.bam"
+        recalibrate_bam_stream_resident(str(pb), str(ob), cfg,
+                                        chunk_records=64, window_reads=96)
+        bam_outs.append(ob.read_bytes())
+    assert fq_outs[0] == fq_outs[1] == fq_outs[2]
+    assert bam_outs[0] == bam_outs[1] == bam_outs[2]
