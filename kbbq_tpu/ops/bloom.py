@@ -127,18 +127,29 @@ def bloom_insert_rows(slots: jax.Array, hi: jax.Array, lo: jax.Array,
     return out.reshape(m)
 
 
+def probe_word(h2: jax.Array, num_hashes: int) -> jax.Array:
+    """The 32-bit OR of a k-mer's probe bits from its second hash.
+
+    Depends ONLY on h2 — filter-size independent, so one (h1, word)
+    pair serves filters of any log2_m (block = h1 & (2^(log2_m-5)-1));
+    the resident pipeline caches these across passes 1-3.  Never zero:
+    at least one probe bit is set, so callers may use word == 0 as an
+    invalid-window sentinel."""
+    w = jnp.zeros_like(h2)
+    for j in range(num_hashes):
+        s = _u32((j * 5) & 31)
+        rot = (h2 >> s) | (h2 << ((_u32(32) - s) & _u32(31)))
+        w = w | (_u32(1) << (rot & _u32(31)))
+    return w
+
+
 def probe_words_h(h1: jax.Array, h2: jax.Array, num_hashes: int,
                   log2_m: int):
     """probe_words from precomputed (h1, h2) hashes (uint32 block —
     valid through the log2_m = 36 addressing ceiling)."""
     assert log2_m <= 36
     block = h1 & _u32((1 << (log2_m - 5)) - 1)
-    w = jnp.zeros_like(h2)
-    for j in range(num_hashes):
-        s = _u32((j * 5) & 31)
-        rot = (h2 >> s) | (h2 << ((_u32(32) - s) & _u32(31)))
-        w = w | (_u32(1) << (rot & _u32(31)))
-    return block, w
+    return block, probe_word(h2, num_hashes)
 
 
 def probe_words(hi: jax.Array, lo: jax.Array, num_hashes: int,

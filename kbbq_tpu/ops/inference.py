@@ -272,51 +272,59 @@ def _walk_loop(query_fn, j0, st0, *, k, n, L, rev_ties,
         in_w = wvalid[:, None, :W] & \
             (tw_vec[None] < (n - jc)[:, None, None])        # [B, 3*, W]
         if STAGED_QUERY and W >= 2:
-            # STAGED candidate probing (round-4): ext is a LEADING-true
-            # count, so a candidate failing its FIRST window has ext 0
-            # exactly — and on typical data the 2 wrong substitutions
-            # die there.  Stage A probes window 0 of all 3 candidates
-            # (3 probes/lane); stage B extends windows 1..W-1 of the
-            # ALIVE candidates only: usually exactly one per lane
-            # ([B, W-1]), all three when any lane keeps >=2 alive (a
-            # globally-agreed cond — real branching repeats / filter
-            # FPs), nothing when no lane has an alive candidate.  The
-            # composite q equals the old [B, 3, W] query bit-for-bit
-            # (alive rows get their real windows, dead rows have
-            # ext < 1 so their tail is never read), at ~(3+W)/(3W) of
-            # the serialized probe traffic of the round's hot gather.
-            # reduce_any keeps the branch choice rendezvous-safe when
-            # query_fn carries collectives (sharded pipeline).
+            # TOP-2 candidate probing (round-4 redesign).  ext is a
+            # LEADING-true count, so a candidate failing its FIRST
+            # window has ext 0 exactly — only ALIVE candidates need
+            # their windows 1..W-1.  The round-3 staged design picked
+            # between a 1-candidate and a 3-candidate extension with a
+            # GLOBAL reduce_any(nalive >= 2) cond — but at walk width
+            # 512 some lane almost always has 2 alive candidates
+            # (filter-B FPR + genuine repeats), so the wide branch ran
+            # every round and the staging was inert (measured: staged
+            # == mono +-1%, docs/PERF.md round 4).  Here the choice is
+            # PER ROW and unconditional: stage A probes window 0 of
+            # all 3 candidates (3 probes/lane); stage B extends the
+            # first (i1 = argmax) and last (i2 = reverse argmax) alive
+            # candidates — 2(W-1) probes/lane; only the 3-alive case
+            # (both wrong substitutions pass window 0: ~FPR^2 per row)
+            # needs slot 1's extension, behind a rarely-true global
+            # cond.  Composite q == the monolithic [B, 3, W] query
+            # bit-for-bit: alive candidates are always one of
+            # {i1, i2, slot 1 w/ 3 alive}; dead candidates have ext 0
+            # from qA so their tail is never read.  reduce_any keeps
+            # the cond rendezvous-safe when query_fn has collectives.
             qA = query_fn(chi[:, :, :1], clo[:, :, :1]) & in_w[:, :, :1]
             alive = qA[:, :, 0]                             # [B, 3]
             nalive = jnp.sum(alive.astype(_i32), axis=1)
+            i1 = jnp.argmax(alive, axis=1).astype(_i32)     # first alive
+            i2 = (2 - jnp.argmax(alive[:, ::-1], axis=1)).astype(_i32)
 
-            def wideq(_):
-                return query_fn(chi[:, :, 1:W], clo[:, :, 1:W])
+            def pick_c(stacked, ci):            # [B, 3, W-1] -> [B, W-1]
+                out = stacked[:, 0]
+                for c in range(1, 3):
+                    out = jnp.where(ci[:, None] == c, stacked[:, c], out)
+                return out
 
-            def narrowq(_):
-                ci = jnp.argmax(alive, axis=1).astype(_i32)  # [B]
+            q1 = query_fn(pick_c(chi[:, :, 1:W], i1),
+                          pick_c(clo[:, :, 1:W], i1))       # [B, W-1]
+            q2c = query_fn(pick_c(chi[:, :, 1:W], i2),
+                           pick_c(clo[:, :, 1:W], i2))      # [B, W-1]
 
-                def pick_c(stacked):            # [B, 3, W-1] -> [B, W-1]
-                    out = stacked[:, 0]
-                    for c in range(1, 3):
-                        out = jnp.where(ci[:, None] == c,
-                                        stacked[:, c], out)
-                    return out
-
-                qn = query_fn(pick_c(chi[:, :, 1:W]),
-                              pick_c(clo[:, :, 1:W]))        # [B, W-1]
-                return (c3_iota[None, :, None] == ci[:, None, None]) \
-                    & qn[:, None, :]
+            def midq(_):
+                # all-3-alive rows have i1 = 0, i2 = 2: slot 1 is the
+                # uncovered one by construction
+                return query_fn(chi[:, :, 1:W][:, 1],
+                                clo[:, :, 1:W][:, 1])       # [B, W-1]
 
             def zeroq(_):
-                return jnp.zeros((B, 3, W - 1), bool)
+                return jnp.zeros((B, W - 1), bool)
 
-            qB = jax.lax.cond(
-                reduce_any(nalive >= 1),
-                lambda a: jax.lax.cond(reduce_any(nalive >= 2),
-                                       wideq, narrowq, a),
-                zeroq, None) & in_w[:, :, 1:]
+            qm = jax.lax.cond(reduce_any(nalive >= 3), midq, zeroq, None)
+            c3i = c3_iota[None, :, None]
+            qB = (((c3i == i1[:, None, None]) & q1[:, None, :])
+                  | ((c3i == i2[:, None, None]) & q2c[:, None, :])
+                  | ((c3i == 1) & (nalive >= 3)[:, None, None]
+                     & qm[:, None, :])) & in_w[:, :, 1:]
             q = jnp.concatenate([qA, qB], axis=2)           # [B, 3, W]
         else:
             q = query_fn(chi[:, :, :W], clo[:, :, :W]) & in_w
@@ -644,11 +652,12 @@ SKIP_COLS = int(_os.environ.get("KBBQ_SKIP_COLS", "16"))
 # extra probes never measured above noise on v5e.
 SKIP_HARD_T = int(_os.environ.get("KBBQ_SKIP_HARD_T", "0"))
 
-# staged candidate probing (see the _walk_loop round body): stage A
-# probes each candidate's FIRST window only, stage B extends the alive
-# ones.  Cuts the round's dominant serialized gather from 3W to ~3+W
-# probes/lane at identical output bits.  KBBQ_STAGED=0 restores the
-# monolithic [B, 3, W] query for sweeps.
+# top-2 candidate probing (see the _walk_loop round body): stage A
+# probes each candidate's FIRST window only, stage B unconditionally
+# extends the top-2 alive candidates per row (+ a rare global cond for
+# the 3-alive case).  Cuts the round's dominant serialized gather from
+# 3W to 3+2(W-1) probes/lane at identical output bits.  KBBQ_STAGED=0
+# restores the monolithic [B, 3, W] query for sweeps.
 STAGED_QUERY = _os.environ.get("KBBQ_STAGED", "1") == "1"
 
 
@@ -668,28 +677,35 @@ def infer_errors_chunked(rows, codes, k: int, num_hashes: int,
 
 def infer_errors(rows, codes, k: int, num_hashes: int,
                  walk_chunk: int | None = None, ext_cap=None,
-                 use_pallas: bool = False) -> jax.Array:
+                 use_pallas: bool = False, trusted0=None,
+                 valid0=None) -> jax.Array:
     """THE production pass-3 entry point: difficulty-scheduled
     direction-split walks when the batch divides into walk chunks,
     plain whole-batch walks otherwise.  All pipelines (batched,
     resident, sharded, streaming) route here so walk-engine
     improvements land everywhere at once (round-2 VERDICT weak #8:
     two engines had drifted).  Output bits are identical either way
-    (tests assert it)."""
+    (tests assert it).
+
+    trusted0/valid0: optional precomputed initial all-window trust +
+    validity (callers holding the pass-1 hash cache query filter B via
+    the cached word test and skip the re-hash here)."""
     B = codes.shape[0]
     wc = walk_chunk or WALK_CHUNK
     if B <= wc or B % wc:
         return infer_errors_batch(rows, codes, k, num_hashes, ext_cap,
-                                  use_pallas)
+                                  use_pallas, trusted0=trusted0)
     return infer_errors_scheduled(rows, codes, k, num_hashes, chunk=wc,
-                                  ext_cap=ext_cap, use_pallas=use_pallas)
+                                  ext_cap=ext_cap, use_pallas=use_pallas,
+                                  trusted0=trusted0, valid0=valid0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "num_hashes", "chunk",
                                              "ext_cap", "use_pallas"))
 def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
                            chunk: int = WALK_CHUNK, ext_cap=None,
-                           use_pallas: bool = False) -> jax.Array:
+                           use_pallas: bool = False, trusted0=None,
+                           valid0=None) -> jax.Array:
     """Difficulty-scheduled inference over DIRECTIONAL walk lanes.
 
     The right and left walks of one read are provably independent: the
@@ -723,10 +739,13 @@ def infer_errors_scheduled(rows, codes, k: int, num_hashes: int,
     B, L = codes.shape
     if B <= chunk:
         return infer_errors_batch(rows, codes, k, num_hashes, ext_cap,
-                                  use_pallas)
+                                  use_pallas, trusted0=trusted0)
     assert B % chunk == 0
-    hi, lo, valid = canonical_kmers_batch(codes, k)
-    tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
+    if trusted0 is None:
+        hi, lo, valid = canonical_kmers_batch(codes, k)
+        tr = bloom_query_rows(rows, hi, lo, num_hashes) & valid
+    else:
+        tr, valid = trusted0, valid0
     n = tr.shape[1]
 
     if use_pallas:

@@ -326,41 +326,86 @@ def _pass1_all(slots, codes, ids, threshold, *, k, num_hashes, B):
                                    num_hashes=num_hashes, B=B))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "num_hashes",
-                                             "log2_m", "B"))
-def _pass1_kmers_slice(codes, ids, threshold, *, k, num_hashes,
-                       log2_m, B):
-    """Per-slice k-mer (block, word, keep) triples for the DENSE pass-1
-    build: the compute overlaps the next slice's h2d like the scatter
-    path, but inserts are deferred to one global sort (ops/bloom.py::
-    bloom_rows_dense) instead of a serialized scatter per batch."""
+@functools.partial(jax.jit, static_argnames=("k", "num_hashes", "B"))
+def _pass1_kmers_slice(codes, ids, threshold, *, k, num_hashes, B):
+    """Per-slice k-mer HASH CACHE (h1, word, keep) for the DENSE pass-1
+    build AND the pass-2/3 reuse: the compute overlaps the next slice's
+    h2d like the scatter path, but inserts are deferred to one global
+    sort (ops/bloom.py::bloom_rows_dense) instead of a serialized
+    scatter per batch.
+
+    h1 masks down to ANY filter's block index (blk = h1 &
+    (2^(log2_m-5)-1)) and `word` (probe_word) depends only on h2 — so
+    this single hash pass serves pass 1's sampled build, pass 2's
+    filter-A query + filter-B build, and pass 3's initial all-window
+    query (the hash+probe-word recompute was ~2.4 ms/batch per pass on
+    v5e, docs/PERF.md round 4).  word == 0 marks invalid windows
+    (probe_word is never zero on valid ones).  Shapes: [rows, n]."""
     nb = codes.shape[0] // B
+    from ..ops.bloom import probe_word
+    from ..ops.kmers import kmer_hashes
 
     def body(_, i):
         c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
         rid = jax.lax.dynamic_slice_in_dim(ids, i * B, B, 0)
         hi, lo, valid = canonical_kmers_batch(c, k)
         keep = valid & sample_keep_mask(rid, hi.shape[1], threshold)
-        blk, w = probe_words(hi, lo, num_hashes, log2_m)
-        return None, (blk.reshape(-1), w.reshape(-1), keep.reshape(-1))
+        h1, h2 = kmer_hashes(hi, lo)
+        w = jnp.where(valid, probe_word(h2, num_hashes), jnp.uint32(0))
+        return None, (h1, w, keep)
 
-    _, (blks, ws, keeps) = jax.lax.scan(body, None, jnp.arange(nb))
-    return blks.reshape(-1), ws.reshape(-1), keeps.reshape(-1)
+    _, (h1s, ws, keeps) = jax.lax.scan(body, None, jnp.arange(nb))
+    n = h1s.shape[-1]
+    return (h1s.reshape(-1, n), ws.reshape(-1, n), keeps.reshape(-1, n))
 
 
 @functools.partial(jax.jit, static_argnames=("log2_m", "prefix"))
-def _dense_finish(blks, ws, keeps, *, log2_m, prefix=None):
-    """Global dense build; with `prefix` (pass 1: only ~alpha of slots
-    are sampled) the post-sort stages run on the sampled prefix only —
-    returns (rows, kept_count) and the CALLER must verify kept_count
-    <= prefix (fall back to the unprefixed build otherwise)."""
-    blk = jnp.concatenate(blks)
-    w = jnp.concatenate(ws)
-    keep = jnp.concatenate(keeps)
+def _dense_finish(h1s, ws, keeps, *, log2_m, prefix=None):
+    """Global dense build from the (h1, word, keep) hash cache; with
+    `prefix` (pass 1: only ~alpha of slots are sampled) the post-sort
+    stages run on the sampled prefix only — returns (rows, kept_count)
+    and the CALLER must verify kept_count <= prefix (fall back to the
+    unprefixed build otherwise)."""
+    bmask = jnp.uint32((1 << (log2_m - 5)) - 1)
+    blk = jnp.concatenate([h.reshape(-1) for h in h1s]) & bmask
+    w = jnp.concatenate([x.reshape(-1) for x in ws])
+    keep = jnp.concatenate([x.reshape(-1) for x in keeps])
     if prefix is None:
         return bloom_rows_dense(blk, w, keep, log2_m)
     from ..ops.bloom import bloom_rows_dense_prefixed
     return bloom_rows_dense_prefixed(blk, w, keep, log2_m, prefix)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "trust_threshold", "log2_m_a",
+                                    "log2_m_b", "B"))
+def _pass2_dense_cached(rows_a, h1s, ws, t_table, *, k, trust_threshold,
+                        log2_m_a, log2_m_b, B):
+    """Dense-build pass 2 on the pass-1 hash cache: no re-hashing.
+    The filter-A query is the all-probe-bits word test ((rows[blk] & w)
+    == w — exactly bloom_query_rows' bit test, ops/bloom.py); trusted
+    k-mers re-mask h1 to filter B's block index for the sort build.
+    h1s/ws are the per-slice cache tuples — concatenated INSIDE the jit
+    so the joined copy is transient, not a second resident footprint."""
+    h1 = h1s[0] if len(h1s) == 1 else jnp.concatenate(h1s, axis=0)
+    w = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
+    nb = h1.shape[0] // B
+    mask_a = jnp.uint32((1 << (log2_m_a - 5)) - 1)
+    mask_b = jnp.uint32((1 << (log2_m_b - 5)) - 1)
+
+    def body(_, i):
+        h1i = jax.lax.dynamic_slice_in_dim(h1, i * B, B, 0)
+        wi = jax.lax.dynamic_slice_in_dim(w, i * B, B, 0)
+        valid = wi != 0
+        hits = ((rows_a[(h1i & mask_a).astype(jnp.int32)] & wi) == wi) \
+            & valid
+        tr = trusted_mask_batch(hits, valid, t_table, k, trust_threshold)
+        return None, ((h1i & mask_b).reshape(-1), wi.reshape(-1),
+                      tr.reshape(-1))
+
+    _, (blks, ws, trs) = jax.lax.scan(body, None, jnp.arange(nb))
+    return bloom_rows_dense(blks.reshape(-1), ws.reshape(-1),
+                            trs.reshape(-1), log2_m_b)
 
 
 @functools.partial(jax.jit,
@@ -408,23 +453,39 @@ def _pass2_all(rows_a, slots_b, codes, t_table, *, k, num_hashes,
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "num_hashes", "ext_cap",
-                                    "use_pallas", "B", "walk_chunk"))
-def _pass3_walks(rows_b, codes, *, k, num_hashes, ext_cap, use_pallas,
-                 B, walk_chunk=WALK_CHUNK):
+                                    "use_pallas", "B", "walk_chunk",
+                                    "log2_m_b"))
+def _pass3_walks(rows_b, codes, h1=None, w=None, *, k, num_hashes,
+                 ext_cap, use_pallas, B, walk_chunk=WALK_CHUNK,
+                 log2_m_b=0):
     """Error inference for every batch: bool [N, L].  Dispatched BEFORE
     joining the quals transfer — the walks need only codes, so the
     [N, L] quals host->device transfer overlaps walk compute instead of
     blocking pass 3 (the transfer costs ~wall-seconds through the axon
-    tunnel; on real PCIe the overlap is still free)."""
+    tunnel; on real PCIe the overlap is still free).
+
+    With the pass-1 hash cache (h1, w — see _pass1_kmers_slice), each
+    batch's initial all-window trust query runs as the cached word test
+    against filter B instead of re-hashing the batch's k-mers."""
     nb = codes.shape[0] // B
 
     def body(_, i):
         c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
+        if h1 is None:
+            tr = valid = None
+        else:
+            h1i = jax.lax.dynamic_slice_in_dim(h1, i * B, B, 0)
+            wi = jax.lax.dynamic_slice_in_dim(w, i * B, B, 0)
+            valid = wi != 0
+            mask_b = jnp.uint32((1 << (log2_m_b - 5)) - 1)
+            tr = ((rows_b[(h1i & mask_b).astype(jnp.int32)] & wi) == wi) \
+                & valid
         # walk_chunk-wide walks, difficulty-scheduled, walk body
         # compiled once (lax.map inside)
         errors = infer_errors(rows_b, c, k, num_hashes,
                               walk_chunk=walk_chunk, ext_cap=ext_cap,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, trusted0=tr,
+                              valid0=valid)
         return None, errors
 
     _, errors = jax.lax.scan(body, None, jnp.arange(nb))
@@ -581,8 +642,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
         t_d = _time.time()
         if dense:
             kmer_parts.append(_pass1_kmers_slice(
-                codes_i, ids_i, threshold, k=k, num_hashes=h,
-                log2_m=la, B=B))
+                codes_i, ids_i, threshold, k=k, num_hashes=h, B=B))
         else:
             slots = _pass1_slice(slots, codes_i, ids_i, threshold,
                                  k=k, num_hashes=h, B=B)
@@ -618,9 +678,16 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
         rows_a = _dense_finish(*parts, log2_m=la)
         jax.block_until_ready(rows_a)
     if dense:
-        rows_b = _pass2_dense(rows_a, codes, t_table, k=k, num_hashes=h,
-                              trust_threshold=config.trust_threshold,
-                              log2_m=lb, B=B)
+        # the pass-1 hash cache (h1, word) answers pass 2's filter-A
+        # query + filter-B build AND pass 3's initial trust query
+        # without re-hashing (the keep planes free here)
+        h1_parts = tuple(p[0] for p in kmer_parts)
+        w_parts = tuple(p[1] for p in kmer_parts)
+        kmer_parts = parts = None       # free the keep planes
+        rows_b = _pass2_dense_cached(
+            rows_a, h1_parts, w_parts, t_table, k=k,
+            trust_threshold=config.trust_threshold, log2_m_a=la,
+            log2_m_b=lb, B=B)
     else:
         rows_b = _pass2_all(rows_a, jnp.zeros(params_b.m, jnp.uint8),
                             codes, t_table, k=k, num_hashes=h,
@@ -675,10 +742,18 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     acc_futs = []
     r0 = 0
     wc = config.walk_chunk or WALK_CHUNK
-    for part in codes_parts:
-        err_g = _pass3_walks(rows_b, part, k=k, num_hashes=h,
-                             ext_cap=config.ext_cap,
-                             use_pallas=use_pallas, B=B, walk_chunk=wc)
+    for pi, part in enumerate(codes_parts):
+        if dense:
+            err_g = _pass3_walks(rows_b, part, h1_parts[pi], w_parts[pi],
+                                 k=k, num_hashes=h,
+                                 ext_cap=config.ext_cap,
+                                 use_pallas=use_pallas, B=B,
+                                 walk_chunk=wc, log2_m_b=lb)
+        else:
+            err_g = _pass3_walks(rows_b, part, k=k, num_hashes=h,
+                                 ext_cap=config.ext_cap,
+                                 use_pallas=use_pallas, B=B,
+                                 walk_chunk=wc)
         n_flat = part.shape[0] * L
         enc_g = _sparse_error_idx(err_g, cap=sparse_err_cap(n_flat))
         # pack the dense fallback bits eagerly and hand the FUTURE only

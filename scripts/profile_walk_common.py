@@ -30,7 +30,7 @@ def build(error_rate, alpha_cov, N, L, K, H, B):
     pa = BloomParams.for_keys(n_a, cfg.sampled_bits_per_key, H)
     pb = BloomParams.for_keys(n_b, cfg.trusted_bits_per_key, H)
     p = _pass1_kmers_slice(codes, ids, thr, k=K, num_hashes=H,
-                           log2_m=pa.log2_m, B=B)
+                           B=B)
     rows_a = _dense_finish((p[0],), (p[1],), (p[2],), log2_m=pa.log2_m)
     rows_b = _pass2_dense(rows_a, codes, t_table, k=K, num_hashes=H,
                           trust_threshold=cfg.trust_threshold,

@@ -104,20 +104,22 @@ def test_resident_passes_compile(v5e):
 
 
 def test_dense_build_passes_compile(v5e):
-    """The sort-based dense filter builds (pass-1 k-mer slice + finish,
-    dense pass 2) must compile for v5e — they lean on lax.sort and
-    searchsorted at tens-of-millions scale, which this gate pins."""
+    """The sort-based dense filter builds (pass-1 hash-cache slice +
+    finish, cached pass 2, cached pass-3 walks) must compile for v5e —
+    they lean on lax.sort and searchsorted at tens-of-millions scale,
+    which this gate pins."""
     from kbbq_tpu.pipeline.resident import (
-        _dense_finish, _pass1_kmers_slice, _pass2_dense)
+        _dense_finish, _pass1_kmers_slice, _pass2_dense,
+        _pass2_dense_cached, _pass3_walks)
 
     B, N, L, M = 512, 1024, 150, 1 << 22
-    nkm = N * (L - 32 + 1)
+    n = L - 32 + 1
+    nkm = N * n
     codes = jax.ShapeDtypeStruct((N, L), jnp.int8)
     ids = jax.ShapeDtypeStruct((N,), jnp.uint32)
     log2_m = M.bit_length() - 1
     _compile(v5e, functools.partial(_pass1_kmers_slice.__wrapped__,
-                                    k=32, num_hashes=7, log2_m=log2_m,
-                                    B=B),
+                                    k=32, num_hashes=7, B=B),
              codes, ids, jax.ShapeDtypeStruct((), jnp.uint32))
     tri = jax.ShapeDtypeStruct((nkm,), jnp.uint32)
     msk = jax.ShapeDtypeStruct((nkm,), jnp.bool_)
@@ -130,6 +132,19 @@ def test_dense_build_passes_compile(v5e):
                                     log2_m=log2_m, B=B),
              jax.ShapeDtypeStruct((M // 32,), jnp.uint32), codes,
              jax.ShapeDtypeStruct((200,), jnp.int32))
+    h1 = jax.ShapeDtypeStruct((N, n), jnp.uint32)
+    _compile(v5e,
+             lambda r, a, b, t: _pass2_dense_cached.__wrapped__(
+                 r, (a,), (b,), t, k=32, trust_threshold=None,
+                 log2_m_a=log2_m, log2_m_b=log2_m, B=B),
+             jax.ShapeDtypeStruct((M // 32,), jnp.uint32), h1, h1,
+             jax.ShapeDtypeStruct((200,), jnp.int32))
+    _compile(v5e, functools.partial(_pass3_walks.__wrapped__, k=32,
+                                    num_hashes=7, ext_cap=None,
+                                    use_pallas=False, B=B,
+                                    walk_chunk=256, log2_m_b=log2_m),
+             jax.ShapeDtypeStruct((M // 32,), jnp.uint32), codes,
+             h1, h1)
 
 
 def test_pallas_walk_round_kernel_compile(v5e):
