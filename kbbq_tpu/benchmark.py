@@ -176,8 +176,27 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
                   fastq_path: str | None = None, label: str = "kbbq-tpu"):
     """Per-reported-Q (errors, totals) histogram from alignments.
 
-    Streams the BAM in chunks (bounded memory at WGS scale)."""
+    Streams the BAM in chunks (bounded memory at WGS scale).  CRAM
+    input is decoded (CIGARs reconstructed from features, the
+    --reference FASTA doubles as the CRAM reference) and re-serialized
+    through the same chunked walk."""
     import struct
+
+    if str(bam_path).endswith(".cram"):
+        import tempfile
+
+        from .io.bam import serialize_bam
+        from .io.cram import read_cram
+        bf, _ = read_cram(bam_path, fasta_ref=ref_path)
+        tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
+        tmp.write(serialize_bam(bf, compress=True))
+        tmp.close()
+        try:
+            return benchmark_bam(tmp.name, ref_path, vcf_path,
+                                 fastq_path, label)
+        finally:
+            import os
+            os.unlink(tmp.name)
 
     refs = read_fasta(ref_path)
     sites = read_vcf_sites(vcf_path)

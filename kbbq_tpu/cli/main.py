@@ -125,13 +125,30 @@ def cmd_recalibrate(args) -> int:
         # unless the slices embed their reference
         if len(args.input) != 1:
             raise SystemExit("CRAM mode takes exactly one input")
-        from ..pipeline.bam import recalibrate_cram
-        stats = recalibrate_cram(args.input[0], outs[0], cfg,
-                                 use_oq=args.use_oq, set_oq=args.set_oq,
-                                 fasta_ref=args.fasta_ref,
-                                 checkpoint_dir=args.checkpoint_dir,
-                                 devices=devices,
-                                 bloom_layout=args.bloom_layout)
+        import os
+        big = os.path.exists(args.input[0]) and \
+            os.path.getsize(args.input[0]) > (2 << 30)
+        stream_cram = (args.stream or big) and (devices or 1) <= 1 \
+            and not args.set_oq \
+            and str(outs[0]).endswith(".cram")
+        if stream_cram:
+            # container-at-a-time decode + pass-4 QS-block surgery:
+            # O(container) memory, original bytes preserved outside QS
+            from ..pipeline.cram_stream import \
+                recalibrate_cram_stream_resident
+            stats = recalibrate_cram_stream_resident(
+                args.input[0], outs[0], cfg, use_oq=args.use_oq,
+                fasta_ref=args.fasta_ref,
+                checkpoint_dir=args.checkpoint_dir)
+        else:
+            from ..pipeline.bam import recalibrate_cram
+            stats = recalibrate_cram(args.input[0], outs[0], cfg,
+                                     use_oq=args.use_oq,
+                                     set_oq=args.set_oq,
+                                     fasta_ref=args.fasta_ref,
+                                     checkpoint_dir=args.checkpoint_dir,
+                                     devices=devices,
+                                     bloom_layout=args.bloom_layout)
         dt = time.time() - t0
         print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
               f"({stats['total_bases']} bases) in {dt:.2f}s "
@@ -213,7 +230,7 @@ def build_parser() -> argparse.ArgumentParser:
         "benchmark",
         help="measure actual per-quality error rates from aligned reads")
     pb.add_argument("-b", "--bam", required=True,
-                    help="aligned, coordinate-sorted BAM")
+                    help="aligned, coordinate-sorted BAM or CRAM")
     pb.add_argument("-r", "--reference", required=True,
                     help="reference FASTA")
     pb.add_argument("-v", "--vcf", required=True,

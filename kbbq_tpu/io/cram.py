@@ -65,6 +65,7 @@ class Block:
     content_type: int
     content_id: int
     data: bytes
+    span: tuple = None   # (start, end) byte range within the parse buf
 
 
 def read_block(buf, pos):
@@ -101,7 +102,7 @@ def read_block(buf, pos):
         raise CRAMError(f"unsupported block method {method}")
     if len(data) != rsize:
         raise CRAMError("block raw-size mismatch")
-    return Block(method, ctype, cid, data), pos
+    return Block(method, ctype, cid, data, (start, pos)), pos
 
 
 @dataclasses.dataclass
@@ -463,6 +464,18 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
         seq = np.full(rl, 4, np.int8)   # 2-bit codes, 4 = N
         quals = np.zeros(rl, np.uint8)
         mapped = not (bf & 0x4)
+        # CIGAR reconstruction from features (htslib does the same):
+        # read positions not claimed by a clip/indel feature are M
+        cig: list = []
+
+        def add_op(op, ln):
+            if ln <= 0:
+                return
+            if cig and cig[-1][0] == op:
+                cig[-1] = (op, cig[-1][1] + ln)
+            else:
+                cig.append((op, ln))
+
         if mapped:
             fn = D("FN").get_int()
             # reference slice for this record
@@ -502,9 +515,11 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
                 feat_pos += fp
                 tgt = feat_pos - 1   # 0-based read position
                 fill_ref(tgt, pos_ref)   # ref bases up to the feature
+                add_op("M", tgt - pos_read)
                 pos_ref += tgt - pos_read
                 pos_read = tgt
                 if fc == "X":
+                    add_op("M", 1)
                     code = D("BS").get_int()
                     if ref_seq is not None:
                         data_, origin = ref_seq
@@ -522,6 +537,7 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
                     pos_read += 1
                     pos_ref += 1
                 elif fc == "B":
+                    add_op("M", 1)
                     seq[pos_read] = base_lut[D("BA").get_byte()]
                     quals[pos_read] = D("QS").get_byte()
                     pos_read += 1
@@ -529,6 +545,7 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
                 elif fc == "b":
                     bb = D("BB").get_bytes()
                     arr = base_lut[np.frombuffer(bb, np.uint8)]
+                    add_op("M", arr.size)
                     seq[pos_read:pos_read + arr.size] = arr
                     pos_read += arr.size
                     pos_ref += arr.size
@@ -541,27 +558,35 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
                 elif fc == "I":
                     ins = D("IN").get_bytes()
                     arr = base_lut[np.frombuffer(ins, np.uint8)]
+                    add_op("I", arr.size)
                     seq[pos_read:pos_read + arr.size] = arr
                     pos_read += arr.size
                 elif fc == "S":
                     sc = D("SC").get_bytes()
                     arr = base_lut[np.frombuffer(sc, np.uint8)]
+                    add_op("S", arr.size)
                     seq[pos_read:pos_read + arr.size] = arr
                     pos_read += arr.size
                 elif fc == "i":
+                    add_op("I", 1)
                     seq[pos_read] = base_lut[D("BA").get_byte()]
                     pos_read += 1
                 elif fc == "D":
-                    pos_ref += D("DL").get_int()
+                    dl = D("DL").get_int()
+                    add_op("D", dl)
+                    pos_ref += dl
                 elif fc == "N":
-                    pos_ref += D("RS").get_int()
+                    rs = D("RS").get_int()
+                    add_op("N", rs)
+                    pos_ref += rs
                 elif fc == "P":
-                    D("PD").get_int()
+                    add_op("P", D("PD").get_int())
                 elif fc == "H":
-                    D("HC").get_int()
+                    add_op("H", D("HC").get_int())
                 else:
                     raise CRAMError(f"unsupported feature code {fc!r}")
             fill_ref(rl, pos_ref)
+            add_op("M", rl - pos_read)
             _mq = D("MQ").get_int()
             if cf & 1:
                 qs = D("QS").get_bytes(rl)
@@ -580,6 +605,7 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
                            quals.astype(np.uint8), flag=bf,
                            rg=None, refid=ref_id,
                            pos=ap - 1 if mapped else -1,
+                           cigar=cig if (mapped and cig) else None,
                            aux_extra=aux_extra)
         # RG aux from the numeric RG index is attached by the caller
         # (needs the SAM header's @RG lines)
@@ -588,76 +614,140 @@ def decode_slice(comp: CompressionHeader, blocks, container_ref_id,
     return records
 
 
+def split_slices(blocks):
+    """Split a data container's block list (after the compression
+    header) into per-slice groups [slice header block + data blocks]."""
+    groups = []
+    i = 1
+    while i < len(blocks):
+        if blocks[i].content_type != CT_SLICE_HEADER:
+            raise CRAMError("expected slice header block")
+        sh = parse_slice_header(blocks[i].data)
+        groups.append(blocks[i:i + 1 + sh.n_blocks])
+        i += 1 + sh.n_blocks
+    return groups
+
+
+class CramStream:
+    """Streaming CRAM 3.0 container reader: O(container) memory.
+
+    Parses the file header + SAM-header container eagerly (header_text,
+    rg_names, ref_names available immediately); containers() then
+    yields (container, blocks, raw_bytes) per DATA container — raw is
+    the container's full on-disk bytes (header + body), consumed by the
+    pass-4 QS-block surgery (io/cram_write.py)."""
+
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        head = self.f.read(26)
+        if head[:4] != CRAM_MAGIC:
+            raise CRAMError("missing CRAM magic")
+        if head[4] != 3:
+            raise CRAMError(
+                f"unsupported CRAM major version {head[4]}")
+        self.header_text = ""
+        self.rg_names: list = []
+        self.ref_names: list = []
+        cont, blocks, _ = self._next_container()
+        if cont is None:
+            raise CRAMError("CRAM has no header container")
+        data = blocks[0].data
+        tlen = struct.unpack_from("<i", data, 0)[0]
+        self.header_text = data[4:4 + tlen].decode("utf-8", "replace")
+        for line in self.header_text.splitlines():
+            if line.startswith("@RG"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("ID:"):
+                        self.rg_names.append(fld[3:])
+            if line.startswith("@SQ"):
+                for fld in line.split("\t")[1:]:
+                    if fld.startswith("SN:"):
+                        self.ref_names.append(fld[3:])
+
+    def _next_container(self):
+        """(container, blocks, raw) or (None, None, None) at EOF."""
+        peek = self.f.read(4096)
+        while True:
+            if not peek:
+                return None, None, None
+            try:
+                cont, _ = read_container_header(
+                    np.frombuffer(peek, np.uint8), 0)
+                break
+            except IndexError:
+                more = self.f.read(65536)
+                if not more:
+                    raise CRAMError("truncated container header")
+                peek += more
+        if cont is None:
+            return None, None, None
+        hdr_len = cont.body_pos
+        body = peek[hdr_len:]
+        if len(body) < cont.length:
+            body += self.f.read(cont.length - len(body))
+            if len(body) < cont.length:
+                raise CRAMError("truncated container body")
+        else:
+            # rewind any over-read past this container
+            extra = len(body) - cont.length
+            if extra:
+                self.f.seek(-extra, 1)
+                body = body[:cont.length]
+        raw = peek[:hdr_len] + body
+        if cont.ref_id == -1 and cont.n_records == 0 and \
+                cont.n_blocks == 1 and cont.length == 15:
+            return None, None, None      # EOF container
+        buf = np.frombuffer(body, np.uint8)
+        bpos = 0
+        blocks = []
+        # read exactly n_blocks blocks: the spec permits trailing
+        # container padding (htslib reserves header-container slack for
+        # in-place updates), which a `while bpos < end` loop would
+        # parse as garbage blocks and reject on CRC (ADVICE round 3)
+        for _ in range(cont.n_blocks):
+            b, bpos = read_block(buf, bpos)
+            blocks.append(b)
+        return cont, blocks, raw
+
+    def containers(self):
+        while True:
+            cont, blocks, raw = self._next_container()
+            if cont is None:
+                return
+            yield cont, blocks, raw
+
+    def close(self):
+        self.f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 def read_cram(path: str, fasta_ref: str | None = None):
     """Parse a CRAM file -> (BamFile, ref_names).  Decoded records are
     BamRecords (RG aux tags materialized from the SAM header's @RG
     order), so downstream BAM machinery applies unchanged."""
     from .bam import BamFile
 
-    with open(path, "rb") as f:
-        buf = np.frombuffer(f.read(), np.uint8)
-    if bytes(buf[:4]) != CRAM_MAGIC:
-        raise CRAMError("missing CRAM magic")
-    major = int(buf[4])
-    if major != 3:
-        raise CRAMError(f"unsupported CRAM major version {major}")
-    pos = 26  # magic(4) + version(2) + file id(20)
-
     refs = None
     if fasta_ref:
         from ..benchmark import read_fasta
         refs = read_fasta(fasta_ref)
 
-    header_text = None
-    rg_names: list = []
-    ref_names: list = []
     records = []
-    n = buf.size
-    while pos < n:
-        cont, pos = read_container_header(buf, pos)
-        if cont is None:
-            break
-        end = cont.body_pos + cont.length
-        if cont.ref_id == -1 and cont.n_records == 0 and \
-                cont.n_blocks == 1 and cont.length == 15:
-            break  # EOF container
-        bpos = cont.body_pos
-        blocks = []
-        # read exactly n_blocks blocks: the spec permits trailing
-        # container padding (htslib reserves header-container slack for
-        # in-place updates), which a `while bpos < end` loop would parse
-        # as garbage blocks and reject on CRC (ADVICE round 3)
-        for _ in range(cont.n_blocks):
-            b, bpos = read_block(buf, bpos)
-            blocks.append(b)
-        pos = end
-        if header_text is None:
-            # first container: SAM header block (i32 length + text)
-            data = blocks[0].data
-            tlen = struct.unpack_from("<i", data, 0)[0]
-            header_text = data[4:4 + tlen].decode("utf-8", "replace")
-            for line in header_text.splitlines():
-                if line.startswith("@RG"):
-                    for fld in line.split("\t")[1:]:
-                        if fld.startswith("ID:"):
-                            rg_names.append(fld[3:])
-                if line.startswith("@SQ"):
-                    for fld in line.split("\t")[1:]:
-                        if fld.startswith("SN:"):
-                            ref_names.append(fld[3:])
-            continue
-        comp = parse_compression_header(blocks[0].data)
-        # remaining blocks split into slices by content type
-        i = 1
-        while i < len(blocks):
-            if blocks[i].content_type != CT_SLICE_HEADER:
-                raise CRAMError("expected slice header block")
-            sh = parse_slice_header(blocks[i].data)
-            group = blocks[i:i + 1 + sh.n_blocks]
-            i += 1 + sh.n_blocks
-            recs = decode_slice(comp, group, cont.ref_id, refs,
-                                ref_names)
-            records.extend(recs)
+    with CramStream(path) as cs:
+        header_text = cs.header_text
+        rg_names = cs.rg_names
+        ref_names = cs.ref_names
+        for cont, blocks, _raw in cs.containers():
+            comp = parse_compression_header(blocks[0].data)
+            for group in split_slices(blocks):
+                recs = decode_slice(comp, group, cont.ref_id, refs,
+                                    ref_names)
+                records.extend(recs)
 
     # materialize RG aux tags from numeric ids
     from .bam import BamRecord  # noqa: F401

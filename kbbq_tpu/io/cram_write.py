@@ -107,6 +107,90 @@ def write_cram(bf, path: str, records_per_container: int = 100000,
         f.write(out)
 
 
+class CramStreamWriter:
+    """Incremental CRAM writer: header container up front, then
+    containers appended as chunks arrive, EOF container on close —
+    the streaming sink twin of write_cram (O(container) memory)."""
+
+    def __init__(self, path, header_text: str, ref_names=None):
+        self.f = open(path, "wb") if isinstance(path, (str, bytes)) \
+            else path
+        self._own = isinstance(path, (str, bytes))
+        self.ref_names = list(ref_names or [])
+        self.counter = 0
+        self.f.write(b"CRAM" + bytes([3, 0]) + bytes(20))
+        htext = header_text.encode()
+        hblock = _block(0, 0, 0, struct.pack("<i", len(htext)) + htext)
+        self.f.write(_container_header(len(hblock), -1, 0, 0, 0, 0, 0,
+                                       1, [0]))
+        self.f.write(hblock)
+
+    def write_records(self, chunk, ref=None, embed_ref=False):
+        """Encode one container of records (write_cram's profile)."""
+        if chunk:
+            self.f.write(_write_container(chunk, self.counter, ref,
+                                          self.ref_names, embed_ref))
+            self.counter += len(chunk)
+
+    def write_raw(self, raw: bytes):
+        """Pass a pre-built container (e.g. the pass-4 QS surgery's
+        output) straight through."""
+        self.f.write(raw)
+
+    def close(self):
+        self.f.write(_EOF_CONTAINER)
+        if self._own:
+            self.f.close()
+
+
+def rewrite_container_quals(cont, blocks, raw: bytes,
+                            new_qs: list) -> bytes:
+    """Rebuild one data container with ONLY its QS blocks replaced.
+
+    cont/blocks/raw come from io/cram.py::CramStream (blocks carry
+    their compressed byte spans within the container BODY); new_qs is
+    one (qs_content_id, stream_bytes) pair per slice — bytes
+    uncompressed — or None to keep that slice untouched.  Every other
+    block's compressed
+    bytes are copied verbatim — names, tags, bases, mate info, and
+    their entropy coding survive bit-for-bit; only the QS external
+    block is re-encoded (rANS, like io/cram_write.py's writer) and the
+    container header's length/landmarks/CRC updated.
+    """
+    from .cram import CT_EXTERNAL, CRAMError, parse_slice_header, \
+        split_slices
+
+    hdr_len = cont.body_pos
+    body = raw[hdr_len:]
+    groups = split_slices(blocks)
+    if len(new_qs) != len(groups):
+        raise CRAMError("one QS replacement per slice required")
+
+    out_body = bytearray()
+    # the compression header block (first of the body) passes through
+    comp_span = blocks[0].span
+    out_body += body[comp_span[0]:comp_span[1]]
+    landmarks = []
+    for group, qs in zip(groups, new_qs):
+        landmarks.append(len(out_body))
+        sh = parse_slice_header(group[0].data)
+        qs_done = False
+        for b in group:
+            if qs is not None and b.content_type == CT_EXTERNAL \
+                    and not qs_done and b.content_id == qs[0]:
+                out_body += _block(4, CT_EXTERNAL, b.content_id, qs[1])
+                qs_done = True
+            else:
+                out_body += body[b.span[0]:b.span[1]]
+        if qs is not None and not qs_done:
+            raise CRAMError("QS block not found for surgery")
+        del sh
+    hdr = _container_header(len(out_body), cont.ref_id, cont.start,
+                            cont.span, cont.n_records, cont.counter,
+                            cont.bases, cont.n_blocks, landmarks)
+    return hdr + bytes(out_body)
+
+
 def _container_header(length, ref_id, start, span, n_rec, counter,
                       bases, n_blocks, landmarks) -> bytes:
     body = write_itf8(ref_id) + write_itf8(start) + write_itf8(span) \

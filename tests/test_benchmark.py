@@ -187,3 +187,51 @@ def test_plot_runs(tmp_path):
     out = tmp_path / "plot.png"
     plot_benchmark(str(tsv), str(out))
     assert out.stat().st_size > 1000
+
+
+def test_benchmark_accepts_cram(tmp_path):
+    """benchmark -b on a CRAM == the same alignments as BAM: the CRAM
+    reader reconstructs CIGARs from features and the --reference FASTA
+    doubles as the CRAM reference."""
+    from kbbq_tpu.io.bam import read_bam
+    from kbbq_tpu.io.cram_write import write_cram
+
+    bam, ref, vcf, planted = _fixture(tmp_path)
+    want = benchmark_bam(str(bam), str(ref), str(vcf))
+
+    bf = read_bam(str(bam))
+    # the CRAM reader resolves reference names from @SQ header lines
+    bf.header_text += "@SQ\tSN:chr1\tLN:500\n"
+    for rec in bf.records:
+        rec._rg_index = 0
+    refs = read_fasta(str(ref))
+    cram = tmp_path / "aln.cram"
+    write_cram(bf, str(cram), ref=refs)
+    got = benchmark_bam(str(cram), str(ref), str(vcf))
+    assert (want["errors"] == got["errors"]).all()
+    assert (want["totals"] == got["totals"]).all()
+
+
+def test_cram_decode_reconstructs_cigar(tmp_path):
+    """Mapped CRAM records come back with a usable CIGAR (features ->
+    ops), so CRAM->BAM conversion and benchmark walks are exact."""
+    from kbbq_tpu.io.bam import read_bam
+    from kbbq_tpu.io.cram import read_cram
+    from kbbq_tpu.io.cram_write import write_cram
+
+    bam, ref, vcf, _ = _fixture(tmp_path)
+    bf = read_bam(str(bam))
+    bf.header_text += "@SQ\tSN:chr1\tLN:500\n"
+    for rec in bf.records:
+        rec._rg_index = 0
+    refs = read_fasta(str(ref))
+    cram = tmp_path / "aln.cram"
+    write_cram(bf, str(cram), ref=refs)
+    got, _ = read_cram(str(cram), fasta_ref=str(ref))
+    import struct
+    for a, b in zip(bf.records, got.records):
+        (_, _, l_rn, _, _, n_cig, _, _, _, _, _) = struct.unpack_from(
+            "<iiBBHHHiiii", b.data, 0)
+        from kbbq_tpu.benchmark import parse_cigar
+        cig = parse_cigar(b.data, 32 + l_rn, n_cig)
+        assert cig == [("M", a.l_seq)], a.name
