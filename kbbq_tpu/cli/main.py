@@ -88,10 +88,32 @@ def cmd_recalibrate(args) -> int:
         # workload: every pod process runs this same command and the
         # streaming driver shards the input files across hosts
         # (parallel/multihost.py; round-2 VERDICT missing #1)
-        if args.input[0].endswith((".bam", ".sam", ".cram")):
+        if args.input[0].endswith((".sam", ".cram")):
             raise SystemExit(
-                "multi-host mode supports FASTQ inputs only; convert "
-                "the BAM to FASTQ or shard it by read group first")
+                "multi-host mode supports FASTQ and BAM inputs; convert "
+                "SAM/CRAM to BAM first")
+        if args.input[0].endswith(".bam"):
+            if len(args.input) != 1:
+                raise SystemExit("multi-host BAM mode takes one input")
+            out = (args.output or ["out.bam"])[0]
+            from ..parallel.multihost import init_multihost, \
+                recalibrate_bam_multihost
+            info = init_multihost()
+            t0 = time.time()
+            stats = recalibrate_bam_multihost(
+                args.input[0], out, cfg, use_oq=args.use_oq,
+                set_oq=args.set_oq, chunk_records=args.chunk_reads,
+                info=info)
+            dt = time.time() - t0
+            print(f"[kbbq-tpu] host {stats['process_id']}/"
+                  f"{stats['num_processes']}: wrote "
+                  f"{stats['host_reads_written']} of "
+                  f"{stats['num_reads']} reads -> {stats['part']} "
+                  f"in {dt:.2f}s; `cat {out}.part-* > {out}`",
+                  file=sys.stderr)
+            import json
+            print(json.dumps(stats))
+            return 0
         if args.output is None or len(args.output) != len(args.input):
             raise SystemExit(
                 "multi-host mode needs one -o output per input file "

@@ -42,6 +42,7 @@ class BGZFStreamReader:
         self.pos = 0                # read cursor into out (front-del
         # per small read would memmove the whole buffer — O(n^2))
         self.eof = False
+        self.consumed = 0           # uncompressed bytes handed out
 
     def _fill_comp(self) -> bool:
         b = self.f.read(self.read_bytes)
@@ -105,6 +106,7 @@ class BGZFStreamReader:
                 break
         take = bytes(memoryview(self.out)[self.pos:self.pos + want])
         self.pos += len(take)
+        self.consumed += len(take)
         if self.pos >= (1 << 20):
             del self.out[:self.pos]
             self.pos = 0
@@ -250,6 +252,142 @@ def _scan_record_index(buf, start: int):
     return (np.asarray(offs, np.int64), np.asarray(sizes, np.int64), off)
 
 
+def bgzf_member_index(path: str):
+    """[(comp_off, uncomp_off)] per BGZF member — a pure header walk
+    over the COMPRESSED bytes (BSIZE hop + ISIZE tail read, no inflate),
+    so it costs one sequential disk read.  uncomp_off is the member's
+    start offset in the decompressed stream.  Multi-host BAM sharding
+    maps record-boundary stream offsets to (member, delta) virtual
+    offsets with this (SURVEY.md §3.3; htslib's BAI virtual offsets are
+    the same idea)."""
+    members = []
+    uncomp = 0
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    n = len(data)
+    while off + 18 <= n:
+        (id1, id2, cm, flg, _mt, _xfl, _os, xlen) = _HDR.unpack_from(
+            data, off)
+        if (id1, id2, cm) != (31, 139, 8) or not flg & 4:
+            raise BGZFError(f"not a BGZF block at offset {off}")
+        xoff = off + 12
+        end = xoff + xlen
+        bsize = None
+        while xoff + 4 <= end:
+            si1, si2 = data[xoff], data[xoff + 1]
+            slen = struct.unpack_from("<H", data, xoff + 2)[0]
+            if (si1, si2) == (66, 67) and slen == 2:
+                bsize = struct.unpack_from("<H", data, xoff + 4)[0] + 1
+            xoff += 4 + slen
+        if bsize is None or off + bsize > n:
+            raise BGZFError("missing BC subfield / truncated member")
+        isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
+        members.append((off, uncomp))
+        uncomp += isize
+        off += bsize
+    return members, uncomp
+
+
+def voffset_for(members, total_uncomp: int, stream_off: int):
+    """(comp_off, delta) locating decompressed offset `stream_off`."""
+    import bisect
+    if not (0 <= stream_off <= total_uncomp):
+        raise BGZFError("stream offset out of range")
+    i = bisect.bisect_right([u for _, u in members], stream_off) - 1
+    comp_off, uncomp_off = members[i]
+    return comp_off, stream_off - uncomp_off
+
+
+def open_bam_stream_at(path: str, comp_off: int, delta: int
+                       ) -> BGZFStreamReader:
+    """Reader positioned at (comp_off, delta) — comp_off MUST be a BGZF
+    member boundary and delta land on a record boundary."""
+    f = open(path, "rb")
+    f.seek(comp_off)
+    r = BGZFStreamReader(f)
+    while delta:
+        got = r.read(min(delta, 8 << 20))
+        if not got:
+            raise BAMError("virtual offset past EOF")
+        delta -= len(got)
+    return r
+
+
+def _iter_raw_chunks_from_reader(reader, chunk_records: int,
+                                 max_records: int | None = None,
+                                 offsets_into=None):
+    """The raw-chunk cutting loop over an open reader (shared by the
+    whole-file iterator and the virtual-offset range iterator).
+    offsets_into: optional list; the chunk's START offset in the
+    decompressed stream (reader.consumed coordinates) is appended per
+    yielded chunk."""
+    import numpy as np
+
+    try:
+        buf = bytearray()
+        o_parts: list = []
+        s_parts: list = []
+        nrec = 0
+        scanned = 0
+        eof = False
+        remaining = max_records
+        base_off = reader.consumed
+        while True:
+            while nrec < chunk_records and not eof and \
+                    (remaining is None or nrec < remaining):
+                more = reader.read(8 << 20)
+                if not more:
+                    eof = True
+                    break
+                buf += more
+                o, s, scanned = _scan_record_index(buf, scanned)
+                if o.size:
+                    o_parts.append(o)
+                    s_parts.append(s)
+                    nrec += o.size
+            if nrec == 0:
+                if len(buf) - scanned and remaining is None:
+                    raise BAMError("truncated BAM record")
+                return
+            offs = (np.concatenate(o_parts) if len(o_parts) > 1
+                    else o_parts[0])
+            sizes = (np.concatenate(s_parts) if len(s_parts) > 1
+                     else s_parts[0])
+            take = min(nrec, chunk_records)
+            if remaining is not None:
+                take = min(take, remaining)
+            cut = int(offs[take - 1] + sizes[take - 1])
+            if offsets_into is not None:
+                offsets_into.append(base_off)
+            yield (np.frombuffer(bytes(memoryview(buf)[:cut]),
+                                 np.uint8),
+                   offs[:take].copy(), sizes[:take].copy())
+            if remaining is not None:
+                remaining -= take
+                if remaining <= 0:
+                    return
+            base_off += cut
+            rem_o, rem_s = offs[take:] - cut, sizes[take:]
+            del buf[:cut]
+            scanned -= cut
+            o_parts = [rem_o] if rem_o.size else []
+            s_parts = [rem_s] if rem_s.size else []
+            nrec -= take
+    finally:
+        reader.f.close()
+
+
+def iter_bam_raw_chunks_range(path: str, comp_off: int, delta: int,
+                              n_records: int,
+                              chunk_records: int = DEFAULT_CHUNK_RECORDS):
+    """Raw chunks for exactly n_records starting at a record-boundary
+    virtual offset — the per-host slice of a multi-host BAM run."""
+    reader = open_bam_stream_at(path, comp_off, delta)
+    return _iter_raw_chunks_from_reader(reader, chunk_records,
+                                        max_records=n_records)
+
+
 def iter_bam_raw_chunks(path: str,
                         chunk_records: int = DEFAULT_CHUNK_RECORDS):
     """(header_text, refs, iterator of (buf, offs, sizes)) where buf is
@@ -262,60 +400,40 @@ def iter_bam_raw_chunks(path: str,
     import numpy as np
 
     header_text, refs, reader = open_bam_stream(path)
+    return header_text, refs, _iter_raw_chunks_from_reader(
+        reader, chunk_records)
 
-    def chunks():
-        try:
-            buf = bytearray()
-            o_parts: list = []
-            s_parts: list = []
-            nrec = 0
-            scanned = 0  # bytes of buf fully indexed into o/s_parts
-            eof = False
-            while True:
-                while nrec < chunk_records and not eof:
-                    more = reader.read(8 << 20)
-                    if not more:
-                        eof = True
-                        break
-                    buf += more
-                    o, s, scanned = _scan_record_index(buf, scanned)
-                    if o.size:
-                        o_parts.append(o)
-                        s_parts.append(s)
-                        nrec += o.size
-                if nrec == 0:
-                    if len(buf) - scanned:
-                        raise BAMError("truncated BAM record")
-                    return
-                offs = (np.concatenate(o_parts) if len(o_parts) > 1
-                        else o_parts[0])
-                sizes = (np.concatenate(s_parts) if len(s_parts) > 1
-                         else s_parts[0])
-                take = min(nrec, chunk_records)
-                cut = int(offs[take - 1] + sizes[take - 1])
-                yield (np.frombuffer(bytes(memoryview(buf)[:cut]),
-                                     np.uint8),
-                       offs[:take].copy(), sizes[:take].copy())
-                rem_o, rem_s = offs[take:] - cut, sizes[take:]
-                del buf[:cut]
-                scanned -= cut
-                o_parts = [rem_o] if rem_o.size else []
-                s_parts = [rem_s] if rem_s.size else []
-                nrec -= take
-        finally:
-            reader.f.close()
 
-    return header_text, refs, chunks()
+def iter_bam_raw_chunks_offsets(path: str,
+                                chunk_records: int =
+                                DEFAULT_CHUNK_RECORDS):
+    """iter_bam_raw_chunks that ALSO records each chunk's start offset
+    in the decompressed stream: returns (header_text, refs, chunks,
+    offsets) where offsets grows one entry per yielded chunk — the
+    multi-host scan uses these with bgzf_member_index to derive
+    per-host virtual offsets."""
+    header_text, refs, reader = open_bam_stream(path)
+    offsets: list = []
+    return header_text, refs, _iter_raw_chunks_from_reader(
+        reader, chunk_records, offsets_into=offsets), offsets
 
 
 class BamStreamWriter:
     """Write a BAM incrementally: header once, then record batches."""
 
     def __init__(self, sink, header_text: str, refs,
-                 level: int | None = None):
+                 level: int | None = None, write_header: bool = True,
+                 write_eof: bool = True):
+        """write_header/write_eof=False produce a HEADERLESS /
+        unterminated BGZF shard — multi-host pass 4 writes one part per
+        host and `cat part-*` yields one valid BAM (host 0 carries the
+        header, the last host the EOF marker)."""
         self._own = isinstance(sink, (str, bytes))
         self.f = open(sink, "wb") if self._own else sink
         self.w = BGZFStreamWriter(self.f, level)
+        self._write_eof = write_eof
+        if not write_header:
+            return
         out = [b"BAM\x01"]
         htext = header_text.encode()
         out.append(struct.pack("<i", len(htext)))
@@ -339,6 +457,12 @@ class BamStreamWriter:
         self.w.write(bytes(data))
 
     def close(self) -> None:
-        self.w.close()
+        if self._write_eof:
+            self.w.close()
+        else:
+            # flush pending payload without the EOF marker
+            if self.w.buf:
+                self.w._emit(bytes(self.w.buf))
+                self.w.buf.clear()
         if self._own:
             self.f.close()

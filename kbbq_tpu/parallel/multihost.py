@@ -409,3 +409,199 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
             "process_id": pid, "num_processes": H,
             "devices": mesh.devices.size}
 
+
+# --------------------------------------------------------------------------
+# Multi-host BAM (round-3 VERDICT #7; SURVEY.md C6/§3.3)
+# --------------------------------------------------------------------------
+
+
+def scan_bam_multihost(path: str, k: int, chunk_records: int):
+    """Deterministic whole-file metadata scan every host runs
+    identically (no communication): per-chunk (n_records, n_primary,
+    primary_ordinal_start, stream_off) plus the global RG registry,
+    totals, and max_len.  stream_off is the chunk's start offset in the
+    DECOMPRESSED stream; bgzf_member_index maps it to a (member, delta)
+    virtual offset so each host later seeks straight to its shard."""
+    from ..io.bam_stream import iter_bam_raw_chunks_offsets
+    from ..io.bam_vec import scan_chunk
+
+    header_text, refs, chunks, offsets = iter_bam_raw_chunks_offsets(
+        path, chunk_records)
+    metas = []
+    registry: dict = {}
+    n = bases = tk = 0
+    max_len = 1
+    for i, (buf, offs, sizes) in enumerate(chunks):
+        cn, cb, ck, cl, keys = scan_chunk(buf, offs, sizes, k)
+        metas.append({"n_records": int(offs.size), "n_primary": int(cn),
+                      "ordinal": n, "stream_off": offsets[i]})
+        n += cn
+        bases += cb
+        tk += ck
+        max_len = max(max_len, cl)
+        for key in keys:
+            if key not in registry:
+                registry[key] = len(registry)
+    return header_text, refs, metas, registry, n, bases, tk, max_len
+
+
+def partition_bam_chunks(metas, num_hosts: int):
+    """Contiguous chunk ranges balanced by primary-read count:
+    [(chunk_lo, chunk_hi)] per host, deterministic."""
+    total = sum(m["n_primary"] for m in metas)
+    bounds = [0]
+    acc = 0
+    for h in range(1, num_hosts):
+        target = total * h / num_hosts
+        i = bounds[-1]
+        while i < len(metas) and acc + metas[i]["n_primary"] <= target:
+            acc += metas[i]["n_primary"]
+            i += 1
+        bounds.append(i)
+    bounds.append(len(metas))
+    return [(bounds[h], bounds[h + 1]) for h in range(num_hosts)]
+
+
+class _BamHostBatches:
+    """Re-iterable local batches over one host's contiguous chunk range
+    (global primary ordinals, machine order, optional OQ quals)."""
+
+    def __init__(self, path, metas, lo, hi, registry, max_len,
+                 local_batch, use_oq, chunk_records, members, total_u):
+        self.path = path
+        self.metas = metas
+        self.lo, self.hi = lo, hi
+        self.registry = registry
+        self.max_len = max_len
+        self.local_batch = local_batch
+        self.use_oq = use_oq
+        self.chunk_records = chunk_records
+        self.members, self.total_u = members, total_u
+
+    def raw_chunks(self):
+        from ..io.bam_stream import iter_bam_raw_chunks_range, \
+            voffset_for
+        if self.lo >= self.hi:
+            return
+        co, delta = voffset_for(self.members, self.total_u,
+                                self.metas[self.lo]["stream_off"])
+        n_rec = sum(m["n_records"] for m in self.metas[self.lo:self.hi])
+        yield from iter_bam_raw_chunks_range(
+            self.path, co, delta, n_rec, self.chunk_records)
+
+    def __iter__(self):
+        from ..io.bam_vec import decode_machine_chunk
+        from ..io.stream import _slice_batches, prefetch_iter
+
+        def decoded():
+            for ci, (buf, offs, sizes) in enumerate(self.raw_chunks()):
+                meta = self.metas[self.lo + ci]
+                dec = decode_machine_chunk(buf, offs, sizes,
+                                           self.max_len, self.registry,
+                                           use_oq=self.use_oq)
+                codes, quals, mask, rgs, seconds, _, prim = dec
+                if not prim.size:
+                    continue
+                ids = np.arange(meta["ordinal"],
+                                meta["ordinal"] + prim.size,
+                                dtype=np.uint32)
+                yield codes, quals, mask, rgs, seconds, ids
+
+        for arrs in prefetch_iter(decoded(), depth=2):
+            yield from _slice_batches(arrs, self.local_batch,
+                                      self.max_len)
+
+
+def recalibrate_bam_multihost(in_path: str, out_path: str, config,
+                              use_oq: bool = False, set_oq: bool = False,
+                              chunk_records: int | None = None,
+                              info: dict | None = None) -> dict:
+    """Streaming multi-host BAM recalibration.
+
+    Every process runs this with the same arguments; each host scans
+    the file's metadata deterministically, takes a contiguous BGZF
+    chunk range (virtual-offset seek, no prefix re-inflation), and
+    writes `{out}.part-XXXX-of-YYYY` — host 0's part carries the BAM
+    header, the last host's the BGZF EOF marker, so
+    `cat out.part-* > out.bam` is a valid single BAM whose records are
+    exactly the single-host streaming output's.  Covariates merge over
+    DCN/ICI exactly as the FASTQ pod path (integer-commutative)."""
+    from ..io.bam_stream import DEFAULT_CHUNK_RECORDS, BamStreamWriter, \
+        bgzf_member_index
+    from ..io.bam_vec import rewrite_quals_chunk
+    from ..io.stream import prefetch_iter
+    from .mesh import make_mesh
+
+    info = info or init_multihost()
+    H, pid = info["num_processes"], info["process_id"]
+    chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
+    k = config.k
+    mesh = make_mesh()
+
+    header_text, refs, metas, registry, n, bases, tk, max_len = \
+        scan_bam_multihost(in_path, k, chunk_records)
+    members, total_u = bgzf_member_index(in_path)
+    ranges = partition_bam_chunks(metas, H)
+    lo, hi = ranges[pid]
+
+    local_batch = config.batch_size // H
+    steps = max(
+        (sum((m["n_primary"] + local_batch - 1) // local_batch
+             for m in metas[a:b] if m["n_primary"])
+         for a, b in ranges), default=0)
+
+    pipe = MultihostRecalPipeline(
+        config, max(1, len(registry)), max_len, bases, tk, mesh, H, pid)
+
+    def mk():
+        src = _BamHostBatches(in_path, metas, lo, hi, registry, max_len,
+                              local_batch, use_oq, chunk_records,
+                              members, total_u)
+        return _padded_stream(iter(src), steps, local_batch, max_len)
+
+    pipe.run_pass1(mk())
+    pipe.run_pass2(mk())
+    pipe.run_pass3(mk())
+    pipe.compute_recal_table()
+
+    # pass 4: rewrite own chunk range into this host's part file
+    from ..io.bam_vec import decode_machine_chunk
+    part = f"{out_path}.part-{pid:04d}-of-{H:04d}"
+    writer = BamStreamWriter(part, header_text, refs,
+                             write_header=(pid == 0),
+                             write_eof=(pid == H - 1))
+    written = 0
+    src = _BamHostBatches(in_path, metas, lo, hi, registry, max_len,
+                          local_batch, use_oq, chunk_records,
+                          members, total_u)
+    try:
+        for ci, (buf, offs, sizes) in enumerate(
+                prefetch_iter(src.raw_chunks(), depth=2)):
+            dec = decode_machine_chunk(buf, offs, sizes, max_len,
+                                       registry, use_oq=use_oq)
+            codes, quals, mask, rgs, seconds, lens, prim = dec
+            if prim.size:
+                rows = []
+                B = local_batch
+                from ..io.stream import _slice_batches
+                ids = np.zeros(prim.size, np.uint32)   # unused in p4
+                for b in _slice_batches(
+                        (codes, quals, mask, rgs, seconds, ids),
+                        B, max_len):
+                    rows.append(np.asarray(
+                        pipe.apply_recal_local(b))[:b.num_real])
+                nq = np.concatenate(rows, axis=0)
+                writer.write_raw(rewrite_quals_chunk(
+                    buf, offs, sizes, prim, lens, nq, set_oq=set_oq))
+                written += prim.size
+            else:
+                writer.write_raw(buf)
+    finally:
+        writer.close()
+
+    return {"num_reads": n, "total_bases": bases,
+            "read_groups": max(1, len(registry)),
+            "host_reads_written": written,
+            "part": part,
+            "process_id": pid, "num_processes": H,
+            "devices": mesh.devices.size}

@@ -111,3 +111,110 @@ def test_two_process_cli_matches_single_chip(tmp_path):
         got = open(outs_p[i], "rb").read()
         exp = open(want[i], "rb").read()
         assert got == exp, f"file {i} differs"
+
+
+def _write_test_bam(path, n=600, seed=17):
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, 3000).astype(np.int8)
+    recs = []
+    for i in range(n):
+        L = int(rng.integers(40, 70))
+        s = int(rng.integers(0, 3000 - L))
+        codes = genome[s:s + L].copy()
+        err = rng.random(L) < 0.02
+        codes[err] = (codes[err] + 1) % 4
+        q = rng.integers(8, 40, L).astype(np.uint8)
+        flag = 0
+        if i % 3 == 1:
+            flag |= 0x10          # reverse strand
+        if i % 2:
+            flag |= 0x1 | 0x80    # paired, read2
+        if i % 11 == 7:
+            flag |= 0x100         # secondary (passes through)
+        recs.append(build_record(
+            f"r{i}", codes, q, flag=flag, rg="g0" if i % 5 else "g1",
+            refid=0, pos=s, cigar=[("M", L)]))
+    bf = BamFile("@HD\tVN:1.6\n@RG\tID:g0\n@RG\tID:g1\n",
+                 [("chr1", 3000)], recs)
+    with open(path, "wb") as f:
+        f.write(serialize_bam(bf, compress=True))
+
+
+def test_partition_bam_chunks_contiguous_balanced():
+    from kbbq_tpu.parallel.multihost import partition_bam_chunks
+    metas = [{"n_primary": c} for c in (100, 100, 50, 200, 80, 70, 90)]
+    r = partition_bam_chunks(metas, 3)
+    assert r[0][0] == 0 and r[-1][1] == len(metas)
+    for (a, b), (c, d) in zip(r, r[1:]):
+        assert b == c
+    loads = [sum(m["n_primary"] for m in metas[a:b]) for a, b in r]
+    assert max(loads) <= 0.5 * sum(loads)   # no host owns everything
+
+
+def test_two_process_cli_bam_matches_single_host(tmp_path):
+    """Multi-host BAM through THE CLI BINARY: 2 processes, virtual-
+    offset sharded input, `cat` of the part files is a valid BAM whose
+    records are byte-identical to the single-host streaming output."""
+    from kbbq_tpu.io.bam import read_bam
+    from kbbq_tpu.pipeline import RecalConfig
+    from kbbq_tpu.pipeline.bam import recalibrate_bam_streaming
+
+    d = str(tmp_path)
+    bam = os.path.join(d, "in.bam")
+    _write_test_bam(bam)
+
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want_path = os.path.join(d, "want.bam")
+    recalibrate_bam_streaming(bam, want_path, cfg, devices=2,
+                              chunk_records=150)
+    # ground truth from the plain single-host streaming engine too
+    want1 = os.path.join(d, "want1.bam")
+    recalibrate_bam_streaming(bam, want1, cfg, chunk_records=150)
+
+    out = os.path.join(d, "out.bam")
+    coord = "127.0.0.1:29537"
+    cmd = [sys.executable, "-m", "kbbq_tpu", "recalibrate", bam,
+           "-o", out, "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--chunk-reads", "150", "--multihost"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["KBBQ_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
+            "--xla_force_host_platform_device_count=8", "")
+            + " --xla_force_host_platform_device_count=4").strip()
+        env["JAX_COORDINATOR"] = coord
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env))
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+    stats = [json.loads(so.splitlines()[-1]) for so, _ in results]
+    assert stats[0]["devices"] == 8
+
+    parts = sorted(
+        p for p in os.listdir(d) if p.startswith("out.bam.part-"))
+    assert len(parts) == 2
+    with open(out, "wb") as f:
+        for p in parts:
+            f.write(open(os.path.join(d, p), "rb").read())
+
+    got = read_bam(out)
+    want = read_bam(want1)
+    assert len(got.records) == len(want.records)
+    n_prim = 0
+    for a, b in zip(want.records, got.records):
+        assert bytes(a.data) == bytes(b.data), a.name
+        n_prim += not a.is_secondary_or_supp
+    assert sum(s["host_reads_written"] for s in stats) == n_prim
+    # and the multi-DEVICE single-host answer agrees record-for-record
+    want2 = read_bam(want_path)
+    for a, b in zip(want.records, want2.records):
+        assert bytes(a.data) == bytes(b.data)
