@@ -118,8 +118,10 @@ def _normalize_freqs(counts: np.ndarray) -> np.ndarray:
     out[(counts > 0) & (out == 0)] = 1
     diff = _TOTFREQ - int(out.sum())
     # distribute the remainder over the largest bins (any rule works —
-    # the table is transmitted, so decode needs no agreement here)
-    order = np.argsort(-counts)
+    # the table is transmitted, so decode needs no agreement here — but
+    # the NATIVE twin must produce the identical stream, so the tie
+    # order is pinned: stable descending-count, lower symbol first)
+    order = np.argsort(-counts, kind="stable")
     i = 0
     while diff != 0:
         j = order[i % 256]
@@ -215,7 +217,14 @@ def _rans_encode_stream(data: np.ndarray, F: np.ndarray, C: np.ndarray,
 
 
 def rans_compress_o0(data: bytes) -> bytes:
-    """rANS 4x8 order-0 (CRAM block method 4, order byte 0)."""
+    """rANS 4x8 order-0 (CRAM block method 4, order byte 0).  Routes
+    through the native codec when built (byte-identical stream —
+    normalization tie-breaks included; tests assert it); the NumPy
+    implementation below is the spec twin and fallback."""
+    from . import native_lib
+    nat = native_lib.rans_compress(data, 0)
+    if nat is not None:
+        return nat
     arr = np.frombuffer(data, np.uint8)
     counts = np.bincount(arr, minlength=256)
     F = _normalize_freqs(counts)
@@ -277,11 +286,16 @@ def _rans_decode_stream(buf, pos: int, n_out: int, F, C, state_of,
 
 
 def rans_uncompress(blob: bytes, expected: int | None = None) -> bytes:
-    """Decode a CRAM rANS 4x8 blob (order 0 or 1)."""
+    """Decode a CRAM rANS 4x8 blob (order 0 or 1); native codec when
+    built, NumPy twin otherwise."""
     order = blob[0]
     n_out = int.from_bytes(blob[5:9], "little")
     if expected is not None and expected != n_out:
         raise ValueError("rANS: uncompressed size mismatch")
+    from . import native_lib
+    nat = native_lib.rans_uncompress(blob, n_out)
+    if nat is not None:
+        return nat
     pos = 9
     if order == 0:
         F, pos = _read_freq_table(blob, pos)
@@ -355,7 +369,12 @@ def _read_freq_table_o1(buf, pos: int):
 
 def rans_compress_o1(data: bytes) -> bytes:
     """rANS 4x8 order-1: context = previous byte within each quarter
-    (first byte of a quarter uses context 0)."""
+    (first byte of a quarter uses context 0).  Native-codec routed
+    like rans_compress_o0."""
+    from . import native_lib
+    nat = native_lib.rans_compress(data, 1)
+    if nat is not None:
+        return nat
     arr = np.frombuffer(data, np.uint8)
     n = arr.size
     qs = _quarters(n)

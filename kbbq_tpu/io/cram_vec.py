@@ -89,11 +89,22 @@ def itf8_decode_stream(data, count: int):
 
 def _ragged_flat_index(rows, targets, lengths, L):
     """Flat [n, L] indices for copying `lengths[i]` items to
-    (rows[i], targets[i]...): standard vectorized ragged copy."""
+    (rows[i], targets[i]...): standard vectorized ragged copy.
+
+    Uniform lengths (every record the same — the overwhelmingly common
+    short-read shape) take a 2-temporary broadcast instead of the
+    6-temporary repeat/cumsum chain (~4x less memory traffic on the
+    hot container decode)."""
     total = int(lengths.sum())
     if total == 0:
         return np.zeros(0, np.int64)
-    seg = np.repeat(np.arange(len(lengths)), lengths)
+    n = len(lengths)
+    Lg = int(lengths[0])
+    if Lg * n == total and (lengths == Lg).all():
+        base = rows * L + targets                       # [n]
+        return (base[:, None]
+                + np.arange(Lg, dtype=np.int64)).ravel()
+    seg = np.repeat(np.arange(n), lengths)
     cs = np.cumsum(lengths) - lengths
     within = np.arange(total, dtype=np.int64) - cs[seg]
     return rows[seg] * L + targets[seg] + within

@@ -99,6 +99,13 @@ def get_lib():
     lib.kbbq_bam_offsets.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.kbbq_rans_uncompress.restype = ctypes.c_int32
+    lib.kbbq_rans_uncompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.kbbq_rans_compress.restype = ctypes.c_int64
+    lib.kbbq_rans_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int64]
     lib.kbbq_bam_decode.restype = None
     lib.kbbq_bam_decode.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -378,3 +385,33 @@ def fastq_index(buf: np.ndarray):
         data, len(data), out.ctypes.data_as(ctypes.c_void_p), int(n))
     assert n2 == n
     return out
+
+
+def rans_uncompress(blob: bytes, n_out: int) -> bytes | None:
+    """Native rANS 4x8 decode (order from the blob header); None when
+    the library is unavailable (callers fall back to the NumPy twin)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    out = np.empty(n_out, np.uint8)
+    rc = lib.kbbq_rans_uncompress(bytes(blob), len(blob),
+                                  out.ctypes.data, n_out)
+    if rc != 0:
+        raise ValueError(f"rANS: malformed blob (native rc={rc})")
+    return out.tobytes()
+
+
+def rans_compress(data: bytes, order: int) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as np
+    n = len(data)
+    cap = n + (n >> 4) + (1 << 20)
+    out = np.empty(cap, np.uint8)
+    sz = lib.kbbq_rans_compress(bytes(data), n, order,
+                                out.ctypes.data, cap)
+    if sz < 0:
+        raise ValueError(f"rANS: compress failed (native rc={sz})")
+    return out[:sz].tobytes()
