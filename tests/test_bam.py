@@ -162,3 +162,47 @@ def test_recalibrate_bam_matches_fastq_path(tmp_path):
         oq = np.frombuffer(rec.get_zstr("OQ"), np.uint8).astype(int) - 33
         orig = ds.quals[i] if not rec.is_reverse else ds.quals[i][::-1]
         assert (oq == orig).all()
+
+
+def test_bgzf_member_index_and_range_iteration(tmp_path):
+    """Virtual-offset sharding primitives (multi-host BAM): the member
+    index is a pure compressed-header walk, and range iteration from a
+    chunk's virtual offset reproduces the whole-file chunking exactly."""
+    import numpy as np
+
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+    from kbbq_tpu.io.bam_stream import (
+        bgzf_member_index,
+        iter_bam_raw_chunks_offsets,
+        iter_bam_raw_chunks_range,
+        voffset_for,
+    )
+
+    rng = np.random.default_rng(0)
+    recs = []
+    for i in range(3000):
+        L = int(rng.integers(30, 90))
+        recs.append(build_record(
+            f"r{i}", rng.integers(0, 4, L).astype(np.int8),
+            rng.integers(0, 40, L).astype(np.uint8), flag=0x4))
+    p = tmp_path / "t.bam"
+    p.write_bytes(serialize_bam(BamFile("@HD\tVN:1.6\n", [], recs),
+                                compress=True))
+
+    _, _, chunks, offsets = iter_bam_raw_chunks_offsets(str(p), 450)
+    all_chunks = list(chunks)
+    assert len(offsets) == len(all_chunks)
+    members, total = bgzf_member_index(str(p))
+    assert members[0][0] == 0 and members[0][1] == 0
+    assert all(a[0] < b[0] and a[1] <= b[1]
+               for a, b in zip(members, members[1:]))
+
+    for start in (0, 2, len(all_chunks) - 1):
+        n_after = sum(c[1].size for c in all_chunks[start:])
+        co, delta = voffset_for(members, total, offsets[start])
+        got = list(iter_bam_raw_chunks_range(str(p), co, delta,
+                                             n_after, 450))
+        assert len(got) == len(all_chunks) - start
+        for (b1, o1, s1), (b2, o2, s2) in zip(all_chunks[start:], got):
+            assert np.array_equal(b1, b2)
+            assert np.array_equal(o1, o2) and np.array_equal(s1, s2)
