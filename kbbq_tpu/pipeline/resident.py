@@ -677,7 +677,12 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     if cnt is not None and int(cnt) > P:
         rows_a = _dense_finish(*parts, log2_m=la)
         jax.block_until_ready(rows_a)
-    if dense:
+    # hash-cache reuse toggle (KBBQ_HASH_CACHE=0 restores the
+    # recompute-per-pass path for A/B sweeps)
+    import os as _os
+    hash_cache = dense and \
+        _os.environ.get("KBBQ_HASH_CACHE", "1") == "1"
+    if hash_cache:
         # the pass-1 hash cache (h1, word) answers pass 2's filter-A
         # query + filter-B build AND pass 3's initial trust query
         # without re-hashing (the keep planes free here)
@@ -688,6 +693,11 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
             rows_a, h1_parts, w_parts, t_table, k=k,
             trust_threshold=config.trust_threshold, log2_m_a=la,
             log2_m_b=lb, B=B)
+    elif dense:
+        kmer_parts = parts = None
+        rows_b = _pass2_dense(rows_a, codes, t_table, k=k, num_hashes=h,
+                              trust_threshold=config.trust_threshold,
+                              log2_m=lb, B=B)
     else:
         rows_b = _pass2_all(rows_a, jnp.zeros(params_b.m, jnp.uint8),
                             codes, t_table, k=k, num_hashes=h,
@@ -743,7 +753,7 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
     r0 = 0
     wc = config.walk_chunk or WALK_CHUNK
     for pi, part in enumerate(codes_parts):
-        if dense:
+        if hash_cache:
             err_g = _pass3_walks(rows_b, part, h1_parts[pi], w_parts[pi],
                                  k=k, num_hashes=h,
                                  ext_cap=config.ext_cap,
