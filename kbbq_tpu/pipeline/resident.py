@@ -340,7 +340,12 @@ def _pass1_kmers_slice(codes, ids, threshold, *, k, num_hashes, B):
     filter-A query + filter-B build, and pass 3's initial all-window
     query (the hash+probe-word recompute was ~2.4 ms/batch per pass on
     v5e, docs/PERF.md round 4).  word == 0 marks invalid windows
-    (probe_word is never zero on valid ones).  Shapes: [rows, n]."""
+    (probe_word is never zero on valid ones).
+
+    Shapes: FLAT [rows * n] — a [rows, 119] layout pads the minor dim
+    to the 128-lane tile (docs/KNOWN_ISSUES.md #9) and the scan's
+    stacked padded outputs cost ~0.7 s/run at bench scale (measured
+    round 4, hash-cache A/B); consumers reshape per B-row slice."""
     nb = codes.shape[0] // B
     from ..ops.bloom import probe_word
     from ..ops.kmers import kmer_hashes
@@ -352,11 +357,10 @@ def _pass1_kmers_slice(codes, ids, threshold, *, k, num_hashes, B):
         keep = valid & sample_keep_mask(rid, hi.shape[1], threshold)
         h1, h2 = kmer_hashes(hi, lo)
         w = jnp.where(valid, probe_word(h2, num_hashes), jnp.uint32(0))
-        return None, (h1, w, keep)
+        return None, (h1.reshape(-1), w.reshape(-1), keep.reshape(-1))
 
     _, (h1s, ws, keeps) = jax.lax.scan(body, None, jnp.arange(nb))
-    n = h1s.shape[-1]
-    return (h1s.reshape(-1, n), ws.reshape(-1, n), keeps.reshape(-1, n))
+    return h1s.reshape(-1), ws.reshape(-1), keeps.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("log2_m", "prefix"))
@@ -367,9 +371,10 @@ def _dense_finish(h1s, ws, keeps, *, log2_m, prefix=None):
     and the CALLER must verify kept_count <= prefix (fall back to the
     unprefixed build otherwise)."""
     bmask = jnp.uint32((1 << (log2_m - 5)) - 1)
-    blk = jnp.concatenate([h.reshape(-1) for h in h1s]) & bmask
-    w = jnp.concatenate([x.reshape(-1) for x in ws])
-    keep = jnp.concatenate([x.reshape(-1) for x in keeps])
+    cat = lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs)
+    blk = cat(list(h1s)) & bmask
+    w = cat(list(ws))
+    keep = cat(list(keeps))
     if prefix is None:
         return bloom_rows_dense(blk, w, keep, log2_m)
     from ..ops.bloom import bloom_rows_dense_prefixed
@@ -378,24 +383,29 @@ def _dense_finish(h1s, ws, keeps, *, log2_m, prefix=None):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "trust_threshold", "log2_m_a",
-                                    "log2_m_b", "B"))
+                                    "log2_m_b", "B", "n_win"))
 def _pass2_dense_cached(rows_a, h1s, ws, t_table, *, k, trust_threshold,
-                        log2_m_a, log2_m_b, B):
+                        log2_m_a, log2_m_b, B, n_win):
     """Dense-build pass 2 on the pass-1 hash cache: no re-hashing.
     The filter-A query is the all-probe-bits word test ((rows[blk] & w)
     == w — exactly bloom_query_rows' bit test, ops/bloom.py); trusted
     k-mers re-mask h1 to filter B's block index for the sort build.
-    h1s/ws are the per-slice cache tuples — concatenated INSIDE the jit
-    so the joined copy is transient, not a second resident footprint."""
-    h1 = h1s[0] if len(h1s) == 1 else jnp.concatenate(h1s, axis=0)
-    w = ws[0] if len(ws) == 1 else jnp.concatenate(ws, axis=0)
-    nb = h1.shape[0] // B
+    h1s/ws are the per-slice FLAT cache tuples — concatenated INSIDE
+    the jit so the joined copy is transient, not a second resident
+    footprint; each batch's [B*n_win] slice reshapes to [B, n_win]
+    locally (n_win = windows per read)."""
+    h1 = h1s[0] if len(h1s) == 1 else jnp.concatenate(h1s)
+    w = ws[0] if len(ws) == 1 else jnp.concatenate(ws)
     mask_a = jnp.uint32((1 << (log2_m_a - 5)) - 1)
     mask_b = jnp.uint32((1 << (log2_m_b - 5)) - 1)
+    bn = B * n_win
+    nb = h1.shape[0] // bn
 
     def body(_, i):
-        h1i = jax.lax.dynamic_slice_in_dim(h1, i * B, B, 0)
-        wi = jax.lax.dynamic_slice_in_dim(w, i * B, B, 0)
+        h1i = jax.lax.dynamic_slice_in_dim(h1, i * bn, bn, 0)\
+            .reshape(B, n_win)
+        wi = jax.lax.dynamic_slice_in_dim(w, i * bn, bn, 0)\
+            .reshape(B, n_win)
         valid = wi != 0
         hits = ((rows_a[(h1i & mask_a).astype(jnp.int32)] & wi) == wi) \
             & valid
@@ -403,8 +413,8 @@ def _pass2_dense_cached(rows_a, h1s, ws, t_table, *, k, trust_threshold,
         return None, ((h1i & mask_b).reshape(-1), wi.reshape(-1),
                       tr.reshape(-1))
 
-    _, (blks, ws, trs) = jax.lax.scan(body, None, jnp.arange(nb))
-    return bloom_rows_dense(blks.reshape(-1), ws.reshape(-1),
+    _, (blks, wso, trs) = jax.lax.scan(body, None, jnp.arange(nb))
+    return bloom_rows_dense(blks.reshape(-1), wso.reshape(-1),
                             trs.reshape(-1), log2_m_b)
 
 
@@ -469,13 +479,18 @@ def _pass3_walks(rows_b, codes, h1=None, w=None, *, k, num_hashes,
     against filter B instead of re-hashing the batch's k-mers."""
     nb = codes.shape[0] // B
 
+    n_win = codes.shape[1] - k + 1
+
     def body(_, i):
         c = jax.lax.dynamic_slice_in_dim(codes, i * B, B, 0)
         if h1 is None:
             tr = valid = None
         else:
-            h1i = jax.lax.dynamic_slice_in_dim(h1, i * B, B, 0)
-            wi = jax.lax.dynamic_slice_in_dim(w, i * B, B, 0)
+            bn = B * n_win
+            h1i = jax.lax.dynamic_slice_in_dim(h1, i * bn, bn, 0)\
+                .reshape(B, n_win)
+            wi = jax.lax.dynamic_slice_in_dim(w, i * bn, bn, 0)\
+                .reshape(B, n_win)
             valid = wi != 0
             mask_b = jnp.uint32((1 << (log2_m_b - 5)) - 1)
             tr = ((rows_b[(h1i & mask_b).astype(jnp.int32)] & wi) == wi) \
@@ -692,7 +707,8 @@ def recalibrate_arrays_resident(arrays: ReadArrays, config: RecalConfig,
         rows_b = _pass2_dense_cached(
             rows_a, h1_parts, w_parts, t_table, k=k,
             trust_threshold=config.trust_threshold, log2_m_a=la,
-            log2_m_b=lb, B=B)
+            log2_m_b=lb, B=B,
+            n_win=max(arrays.max_len - k + 1, 0))
     elif dense:
         kmer_parts = parts = None
         rows_b = _pass2_dense(rows_a, codes, t_table, k=k, num_hashes=h,

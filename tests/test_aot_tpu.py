@@ -132,11 +132,11 @@ def test_dense_build_passes_compile(v5e):
                                     log2_m=log2_m, B=B),
              jax.ShapeDtypeStruct((M // 32,), jnp.uint32), codes,
              jax.ShapeDtypeStruct((200,), jnp.int32))
-    h1 = jax.ShapeDtypeStruct((N, n), jnp.uint32)
+    h1 = jax.ShapeDtypeStruct((N * n,), jnp.uint32)
     _compile(v5e,
              lambda r, a, b, t: _pass2_dense_cached.__wrapped__(
                  r, (a,), (b,), t, k=32, trust_threshold=None,
-                 log2_m_a=log2_m, log2_m_b=log2_m, B=B),
+                 log2_m_a=log2_m, log2_m_b=log2_m, B=B, n_win=n),
              jax.ShapeDtypeStruct((M // 32,), jnp.uint32), h1, h1,
              jax.ShapeDtypeStruct((200,), jnp.int32))
     _compile(v5e, functools.partial(_pass3_walks.__wrapped__, k=32,
