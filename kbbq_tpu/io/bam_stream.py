@@ -262,30 +262,57 @@ def bgzf_member_index(path: str):
     the same idea)."""
     members = []
     uncomp = 0
+    CHUNK = 8 << 20           # window size; BGZF members are <= 64 KiB
     with open(path, "rb") as f:
-        data = f.read()
-    off = 0
-    n = len(data)
-    while off + 18 <= n:
-        (id1, id2, cm, flg, _mt, _xfl, _os, xlen) = _HDR.unpack_from(
-            data, off)
-        if (id1, id2, cm) != (31, 139, 8) or not flg & 4:
-            raise BGZFError(f"not a BGZF block at offset {off}")
-        xoff = off + 12
-        end = xoff + xlen
-        bsize = None
-        while xoff + 4 <= end:
-            si1, si2 = data[xoff], data[xoff + 1]
-            slen = struct.unpack_from("<H", data, xoff + 2)[0]
-            if (si1, si2) == (66, 67) and slen == 2:
-                bsize = struct.unpack_from("<H", data, xoff + 4)[0] + 1
-            xoff += 4 + slen
-        if bsize is None or off + bsize > n:
-            raise BGZFError("missing BC subfield / truncated member")
-        isize = struct.unpack_from("<I", data, off + bsize - 4)[0]
-        members.append((off, uncomp))
-        uncomp += isize
-        off += bsize
+        f.seek(0, 2)
+        n = f.tell()
+        buf = b""
+        buf_start = 0         # file offset of buf[0]
+
+        def ensure(start: int, need: int) -> bool:
+            """Slide the bounded window so [start, start+need) is in
+            `buf` — sequential reads in practice, O(CHUNK) memory
+            always (a WGS BAM is never materialized; ADVICE round 4)."""
+            nonlocal buf, buf_start
+            if start >= buf_start and start + need <= buf_start + len(buf):
+                return True
+            if start + need > n:
+                return False
+            f.seek(start)
+            buf = f.read(max(CHUNK, need))
+            buf_start = start
+            return len(buf) >= need
+
+        off = 0
+        while off + 18 <= n:
+            if not ensure(off, 18):
+                raise BGZFError("truncated member header")
+            rel = off - buf_start
+            (id1, id2, cm, flg, _mt, _xfl, _os, xlen) = _HDR.unpack_from(
+                buf, rel)
+            if (id1, id2, cm) != (31, 139, 8) or not flg & 4:
+                raise BGZFError(f"not a BGZF block at offset {off}")
+            if not ensure(off, 12 + xlen):
+                raise BGZFError("truncated member header")
+            rel = off - buf_start
+            xoff = rel + 12
+            end = xoff + xlen
+            bsize = None
+            while xoff + 4 <= end:
+                si1, si2 = buf[xoff], buf[xoff + 1]
+                slen = struct.unpack_from("<H", buf, xoff + 2)[0]
+                if (si1, si2) == (66, 67) and slen == 2:
+                    bsize = struct.unpack_from("<H", buf, xoff + 4)[0] + 1
+                xoff += 4 + slen
+            if bsize is None or off + bsize > n:
+                raise BGZFError("missing BC subfield / truncated member")
+            if not ensure(off + bsize - 4, 4):
+                raise BGZFError("truncated member")
+            isize = struct.unpack_from(
+                "<I", buf, off + bsize - 4 - buf_start)[0]
+            members.append((off, uncomp))
+            uncomp += isize
+            off += bsize
     return members, uncomp
 
 

@@ -174,6 +174,37 @@ def _ext_cid(comp, key):
     raise CRAMError("not external")
 
 
+def _enc_cids(codec, params):
+    """Every external content id an encoding reads from (nested
+    BYTE_ARRAY_LEN sub-encodings included)."""
+    from .cram import parse_encoding
+    from .cram_codecs import read_itf8
+    if codec == 1:
+        return [read_itf8(params, 0)[0]]
+    if codec == 5:
+        return [read_itf8(params, 1)[0]]
+    if codec == 4:
+        le, p = parse_encoding(params, 0)
+        ve, _ = parse_encoding(params, p)
+        return _enc_cids(*le) + _enc_cids(*ve)
+    return []
+
+
+def _shared_cids(comp) -> set:
+    """Content ids referenced by MORE THAN ONE declared series/tag.
+    CRAM permits series to share one external block (values interleave
+    per record) — a shape only the per-record decoder can follow, so
+    the wholesale path refuses any such id (ADVICE round 4)."""
+    users: dict = {}
+    for key, (codec, params) in comp.ds.items():
+        for cid in _enc_cids(codec, params):
+            users.setdefault(cid, set()).add(("ds", key))
+    for tkey, (codec, params) in comp.tags.items():
+        for cid in _enc_cids(codec, params):
+            users.setdefault(cid, set()).add(("tag", tkey))
+    return {cid for cid, u in users.items() if len(u) > 1}
+
+
 def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
                      rg_lut: np.ndarray, use_oq: bool):
     """Vectorized decode of one slice (header block + data blocks).
@@ -201,6 +232,17 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
             if b.content_id == hdr.embedded_ref_id:
                 embedded = b.data
 
+    # Wholesale decode assumes each consumed series OWNS its external
+    # block: reading a cid that any OTHER declared series/tag also
+    # writes to would mis-decode interleaved values, so those force
+    # the per-record fallback.
+    shared = _shared_cids(comp)
+
+    def claim(cid, key):
+        if cid in shared:
+            raise _Fallback()
+        return cid
+
     def ints(key, count, required=True):
         const = _huff_const(comp, key)
         if const is not None:
@@ -210,7 +252,7 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
             if required:
                 raise _Fallback()
             return None
-        data = streams.get(_ext_cid(comp, key), b"")
+        data = streams.get(claim(_ext_cid(comp, key), key), b"")
         vals, _ = itf8_decode_stream(data, count)
         return vals
 
@@ -223,7 +265,7 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
         from .cram_codecs import read_itf8
         _, params = comp.ds[key]
         stop = params[0]
-        cid = read_itf8(params, 1)[0]
+        cid = claim(read_itf8(params, 1)[0], key)
         data = np.frombuffer(streams.get(cid, b""), np.uint8)
         ends = np.flatnonzero(data == stop)
         if ends.size < count:
@@ -250,7 +292,10 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
         else:
             ri = np.full(n, hdr.ref_id, np.int64)
         if (rl > max_len).any():
-            raise CRAMError("record longer than scanned max_len")
+            # scan_cram sizes max_len over PRIMARY records; a longer
+            # secondary/supplementary record is legal — the per-record
+            # fallback copies primaries only, so it degrades cleanly
+            raise _Fallback()
         mapped = (bf & 0x4) == 0
         nm = int(mapped.sum())
         fn = ints("FN", nm)
@@ -258,8 +303,9 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
         if total_feats:
             if "FC" not in comp.ds or _series_codec(comp, "FC") != 1:
                 raise _Fallback()
-            fc = np.frombuffer(streams.get(_ext_cid(comp, "FC"), b""),
-                               np.uint8)[:total_feats]
+            fc = np.frombuffer(
+                streams.get(claim(_ext_cid(comp, "FC"), "FC"), b""),
+                np.uint8)[:total_feats]
             if fc.size < total_feats:
                 raise CRAMError("truncated FC stream")
             bad = ~np.isin(fc, np.frombuffer(b"Xb", np.uint8))
@@ -290,8 +336,8 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
     # --- unmapped: BA verbatim runs
     if urows.size:
         try:
-            ba_cid = _ext_cid(comp, "BA")
-        except (KeyError, CRAMError):
+            ba_cid = claim(_ext_cid(comp, "BA"), "BA")
+        except (KeyError, CRAMError, _Fallback):
             return None
         ba = np.frombuffer(streams.get(ba_cid, b""), np.uint8)
         ulens = rl[urows]
@@ -306,22 +352,37 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
 
     # --- mapped: X/b features over a reference fill (X and b both
     # advance read and reference 1:1, so ref position of read index i
-    # is simply ap + i; any indel-shaped code already fell back)
+    # is simply ap + i; any indel-shaped code already fell back).
+    # Order matters: the ref fill writes each needy record's FULL span,
+    # so 'b' spans are painted AFTER it (they'd be clobbered the other
+    # way around); X substitutions go last and are disjoint from 'b'
+    # spans, so they still read the reference base underneath.
     ref_avail = np.zeros(n, bool)
     if mrows.size:
         is_b = fc == ord("b")
         is_x = fc == ord("X")
-        # b spans
+        # b span geometry first: lengths decide how much reference
+        # each record still needs
         if is_b.any():
-            bflat, blens = stop_entries("BB", int(is_b.sum()))
+            try:
+                bflat, blens = stop_entries("BB", int(is_b.sum()))
+            except _Fallback:
+                return None
             brec = mrows[seg[is_b]]
             btgt = tgt[is_b]
-            flat = _ragged_flat_index(brec, btgt, blens, L)
-            codes.reshape(-1)[flat] = _BASE_LUT[bflat]
             covered = np.zeros(n, np.int64)
             np.add.at(covered, brec, blens)
+            if is_x.any():
+                # an X targeting a position INSIDE a b span replays
+                # feature-order semantics only the per-record walk has
+                bcover = np.zeros(n * L, bool)
+                bcover[_ragged_flat_index(brec, btgt, blens, L)] = True
+                if bcover[mrows[seg[is_x]] * L + tgt[is_x]].any():
+                    return None
         else:
+            bflat = np.zeros(0, np.uint8)
             blens = np.zeros(0, np.int64)
+            brec = btgt = np.zeros(0, np.int64)
             covered = np.zeros(n, np.int64)
         need_ref = rl[mrows] - covered[mrows]
         if (need_ref > 0).any():
@@ -368,15 +429,22 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
                 raise CRAMError(
                     "reference-based CRAM needs --fasta-ref "
                     "(or an embedded reference)")
+        # b spans paint over the ref fill
+        if is_b.any():
+            flat = _ragged_flat_index(brec, btgt, blens, L)
+            codes.reshape(-1)[flat] = _BASE_LUT[bflat]
         # X substitutions paint over the ref fill — only where a
         # reference was actually available (RR=false files without a
         # reference leave N, like the per-record decoder)
         if is_x.any():
             if "BS" not in comp.ds or _series_codec(comp, "BS") != 1:
                 return None
+            try:
+                bs_cid = claim(_ext_cid(comp, "BS"), "BS")
+            except _Fallback:
+                return None
             bs = itf8_decode_stream(
-                streams.get(_ext_cid(comp, "BS"), b""),
-                int(is_x.sum()))[0]
+                streams.get(bs_cid, b""), int(is_x.sum()))[0]
             xrec = mrows[seg[is_x]]
             xtgt = tgt[is_x]
             xa = ref_avail[xrec]
@@ -399,8 +467,8 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
     qs_len = int(qlens.sum())
     if qs_len:
         try:
-            qs_cid = _ext_cid(comp, "QS")
-        except (KeyError, CRAMError):
+            qs_cid = claim(_ext_cid(comp, "QS"), "QS")
+        except (KeyError, CRAMError, _Fallback):
             return None
         qs = np.frombuffer(streams.get(qs_cid, b""), np.uint8)
         if qs.size < qs_len:
@@ -412,7 +480,11 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
             np.zeros(qrows.size, np.int64), qoffs[qrows], qlens[qrows],
             0)].astype(np.int8)
     else:
-        qs_cid = _ext_cid(comp, "QS") if "QS" in comp.ds else -1
+        try:
+            qs_cid = claim(_ext_cid(comp, "QS"), "QS") \
+                if "QS" in comp.ds else -1
+        except (CRAMError, _Fallback):
+            qs_cid = -1
 
     # --- primary selection + machine order (twin of bam_vec)
     prim = np.flatnonzero(((bf & 0x900) == 0) & (rl > 0))
@@ -429,7 +501,10 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
     if use_oq:
         # OQ:Z tag per record: which records carry OQ follows from the
         # TL line; the OQ stream holds entries for exactly those
-        tl = ints("TL", n)
+        try:
+            tl = ints("TL", n)
+        except _Fallback:
+            return None
         okey = (ord("O") << 16) | (ord("Q") << 8) | ord("Z")
         if okey not in comp.tags:
             raise CRAMError("--use-oq: record has no OQ tag")
@@ -441,7 +516,10 @@ def decode_slice_vec(comp, blocks, refs, ref_names, max_len: int,
             return None
         from .cram_codecs import read_itf8
         stop = params[0]
-        cid = read_itf8(params, 1)[0]
+        try:
+            cid = claim(read_itf8(params, 1)[0], "tag:OQ")
+        except _Fallback:
+            return None
         data = np.frombuffer(streams.get(cid, b""), np.uint8)
         ends = np.flatnonzero(data == stop)
         n_oq = int(has_oq.sum())
@@ -504,14 +582,18 @@ def scan_slice_vec(comp, blocks):
         elif b.content_type == CT_EXTERNAL:
             streams[b.content_id] = b.data
 
+    shared = _shared_cids(comp)
+
     def ints(key):
         const = _huff_const(comp, key)
         if const is not None:
             return np.full(n, const, np.int64)
         if _series_codec(comp, key) != 1:
             raise _Fallback()
-        return itf8_decode_stream(
-            streams.get(_ext_cid(comp, key), b""), n)[0]
+        cid = _ext_cid(comp, key)
+        if cid in shared:
+            raise _Fallback()        # series sharing one block
+        return itf8_decode_stream(streams.get(cid, b""), n)[0]
 
     try:
         return ints("BF"), ints("RL"), ints("RG")

@@ -256,22 +256,36 @@ def _write_container(chunk, counter0: int, ref: dict | None = None,
         seq_bytes = _CODE_TO_BASE[np.clip(codes, 0, 4)].tobytes()
         q = rec.quals().astype(np.uint8).tobytes()
         ref_ok = (mapped and ref_seq is not None and rec.pos >= 0
-                  and rec.pos + rl <= len(ref_seq)
-                  and not (codes == 4).any())
+                  and rec.pos + rl <= len(ref_seq))
         if ref_ok:
-            # X substitution features vs the reference (single-M shape)
+            # X substitution features vs the reference (single-M
+            # shape); N bases can't be expressed as substitutions, so
+            # maximal N runs become 'b' verbatim spans interleaved with
+            # the X features in read order — the mixed b+ref-fill shape
+            # the vectorized decoder must handle (ADVICE round 4)
             rseg = np.frombuffer(ref_seq[rec.pos:rec.pos + rl], np.uint8)
-            mism = np.flatnonzero(rseg != np.frombuffer(seq_bytes,
-                                                        np.uint8))
-            put_int("FN", len(mism))
+            isn = codes == 4
+            mism = np.flatnonzero(
+                (rseg != np.frombuffer(seq_bytes, np.uint8)) & ~isn)
+            pad = np.concatenate([[False], isn, [False]])
+            d = np.diff(pad.astype(np.int8))
+            nstarts = np.flatnonzero(d == 1)
+            nends = np.flatnonzero(d == -1)
+            feats = sorted(
+                [(int(p), "X", 0) for p in mism]
+                + [(int(s), "b", int(e)) for s, e in zip(nstarts, nends)])
+            put_int("FN", len(feats))
             last = 0
-            for p in mism:
-                S["FC"] += b"X"
-                put_int("FP", int(p) + 1 - last)
-                last = int(p) + 1
-                others = [b for b in _BASES_STR if b != chr(rseg[p])][:4]
-                S["BS"] += write_itf8(
-                    others.index(chr(seq_bytes[p])))
+            for p, kind, e in feats:
+                S["FC"] += b"X" if kind == "X" else b"b"
+                put_int("FP", p + 1 - last)
+                last = p + 1
+                if kind == "X":
+                    others = [b for b in _BASES_STR
+                              if b != chr(rseg[p])][:4]
+                    S["BS"] += write_itf8(others.index(chr(seq_bytes[p])))
+                else:
+                    S["BB"] += seq_bytes[p:e] + b"\x00"
             put_int("MQ", 0)
             S["QS"] += q
             ap_min = rec.pos + 1 if ap_min is None \

@@ -110,6 +110,13 @@ def _ref_records(seed=11):
         codes = ref_codes[pos:pos + L].astype(np.int8).copy()
         for j in rng.integers(0, L, 3):
             codes[j] = (codes[j] + 1) % 4
+        if i % 3 == 0:
+            # N runs force mixed b-span + ref-fill + X features in the
+            # writer — the decode shape ADVICE round 4 flagged
+            s = int(rng.integers(0, L - 5))
+            codes[s:s + int(rng.integers(1, 5))] = 4
+        if i % 11 == 5:
+            codes[:] = 4          # whole-read N: single b span
         quals = rng.integers(0, 45, L).astype(np.uint8)
         rec = build_record(f"r{i}", codes, quals, flag=0, rg=None,
                            refid=0, pos=pos, cigar=[("M", L)])

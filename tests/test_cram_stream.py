@@ -237,3 +237,108 @@ def test_streaming_cram_ref_based(tmp_path):
         assert ra.name == rb.name
         assert (ra.seq_codes() == rb.seq_codes()).all()
         assert (ra.quals() == rb.quals()).all(), ra.name
+
+
+def test_shared_content_id_forces_fallback(tmp_path):
+    """CRAM allows two series to share one external block (values
+    interleave per record); the wholesale decoder cannot follow that, so
+    it must hand such slices to the per-record decoder (ADVICE round 4)."""
+    from kbbq_tpu.io.cram_vec import _shared_cids
+
+    bf = _mixed_records(seed=33, n=20)
+    p = tmp_path / "t.cram"
+    write_cram(bf, str(p), records_per_container=20)
+    rg_names, ref_names, conts = _containers(str(p))
+    _, lut = _registry_and_lut(rg_names)
+    max_len = max(r.l_seq for r in bf.records)
+    cont, blocks, _ = conts[0]
+    comp = parse_compression_header(blocks[0].data)
+    group = split_slices(blocks)[0]
+    assert decode_slice_vec(comp, group, None, ref_names, max_len, lut,
+                            use_oq=False) is not None
+    # declare MQ to read from RL's block -> both decoders' RL stream
+    # would be shared; the vectorized path must refuse
+    comp.ds["MQ"] = comp.ds["RL"]
+    assert len(_shared_cids(comp)) == 1
+    assert decode_slice_vec(comp, group, None, ref_names, max_len, lut,
+                            use_oq=False) is None
+    assert scan_slice_vec(comp, group) is None
+
+
+def test_overlong_secondary_record_falls_back(tmp_path):
+    """scan_cram sizes max_len over primary records only; a longer
+    secondary record must route the slice to the per-record decoder,
+    not abort the run (ADVICE round 4)."""
+    bf = _mixed_records(seed=9, n=12)
+    p = tmp_path / "t.cram"
+    write_cram(bf, str(p), records_per_container=12)
+    rg_names, ref_names, conts = _containers(str(p))
+    _, lut = _registry_and_lut(rg_names)
+    max_len = max(r.l_seq for r in bf.records)
+    cont, blocks, _ = conts[0]
+    comp = parse_compression_header(blocks[0].data)
+    group = split_slices(blocks)[0]
+    assert decode_slice_vec(comp, group, None, ref_names, max_len - 1,
+                            lut, use_oq=False) is None
+
+
+def test_mixed_b_and_ref_fill_matches_general(tmp_path):
+    """Regression for ADVICE round 4: a mapped record mixing partial 'b'
+    spans (N runs) with ref-implied M positions and X substitutions must
+    decode identically on the vectorized and per-record paths."""
+    from kbbq_tpu.io.bam import BamFile, build_record
+    from kbbq_tpu.io.cram import decode_slice
+
+    rng = np.random.default_rng(77)
+    ref_codes = rng.integers(0, 4, 400)
+    ref_bytes = np.frombuffer(b"ACGT", np.uint8)[ref_codes].tobytes()
+    recs = []
+    for i in range(24):
+        L = 50
+        pos = int(rng.integers(0, 340))
+        codes = ref_codes[pos:pos + L].astype(np.int8).copy()
+        for j in rng.integers(0, L, 4):
+            codes[j] = (codes[j] + 1) % 4
+        # partial N runs: leading, middle, trailing, multiple
+        if i % 4 == 0:
+            codes[:int(rng.integers(1, 8))] = 4
+        if i % 4 == 1:
+            s = int(rng.integers(10, 30))
+            codes[s:s + 6] = 4
+        if i % 4 == 2:
+            codes[-int(rng.integers(1, 8)):] = 4
+        if i % 4 == 3:
+            codes[3:6] = 4
+            codes[20:22] = 4
+            codes[-2:] = 4
+        quals = rng.integers(0, 45, L).astype(np.uint8)
+        rec = build_record(f"r{i}", codes, quals, flag=0, rg=None,
+                           refid=0, pos=pos, cigar=[("M", L)])
+        rec._rg_index = 0
+        recs.append(rec)
+    bf = BamFile("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:400\n@RG\tID:g0\n",
+                 [("chr1", 400)], recs)
+    refs = {"chr1": ref_bytes}
+    for case in ("ref", "embref"):
+        p = tmp_path / f"{case}.cram"
+        write_cram(bf, str(p), records_per_container=24, ref=refs,
+                   embed_ref=(case == "embref"))
+        rg_names, ref_names, conts = _containers(str(p))
+        registry, lut = _registry_and_lut(rg_names)
+        cont, blocks, _ = conts[0]
+        comp = parse_compression_header(blocks[0].data)
+        group = split_slices(blocks)[0]
+        use_refs = refs if case == "ref" else None
+        fast = decode_slice_vec(comp, group, use_refs, ref_names, 50,
+                                lut, use_oq=False)
+        assert fast is not None, "expected the fast path"
+        slow = _slow_arrays(
+            decode_slice(comp, group, cont.ref_id, use_refs, ref_names),
+            50, registry, rg_names, use_oq=False)
+        for a, b, nm in zip(fast[:7], slow,
+                            ("codes", "quals", "mask", "rgs",
+                             "seconds", "lens", "prim")):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), nm
+        # and the decoded bases really mix b spans with ref fill
+        codes0 = np.asarray(fast[0])
+        assert (codes0 == 4).any() and (codes0 < 4).any()
