@@ -71,6 +71,14 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
                         "when JAX_NUM_PROCESSES > 1)")
     p.add_argument("--chunk-reads", type=int, default=None,
                    help="reads per streamed chunk (default 131072)")
+    p.add_argument("--report-out", default=None, metavar="REPORT",
+                   help="also write the computed covariates as a "
+                        "GATKReport v1.1 recalibration table")
+    p.add_argument("--apply-report", default=None, metavar="REPORT",
+                   help="skip model building and recalibrate from a "
+                        "previously written GATKReport instead "
+                        "(ApplyBQSR-equivalent; FASTQ read groups match "
+                        "by input path, BAM/CRAM by RG tag)")
 
 
 def cmd_recalibrate(args) -> int:
@@ -81,9 +89,17 @@ def cmd_recalibrate(args) -> int:
         genome_length=args.genome_length, batch_size=args.batch_size,
         trust_threshold=args.trust_threshold, ext_cap=args.ext_cap)
     import os
+    report_out = getattr(args, "report_out", None)
+    apply_report = getattr(args, "apply_report", None)
+    if apply_report and report_out:
+        raise SystemExit("--apply-report and --report-out are exclusive")
     multihost = args.multihost or \
         int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
     if multihost:
+        if report_out or apply_report:
+            raise SystemExit(
+                "--report-out/--apply-report are single-host flags; "
+                "run them on the merged output or a single host")
         # BASELINE config 5 (human WGS multi-host) is a CLI-shaped
         # workload: every pod process runs this same command and the
         # streaming driver shards the input files across hosts
@@ -161,7 +177,8 @@ def cmd_recalibrate(args) -> int:
             stats = recalibrate_cram_stream_resident(
                 args.input[0], outs[0], cfg, use_oq=args.use_oq,
                 fasta_ref=args.fasta_ref,
-                checkpoint_dir=args.checkpoint_dir)
+                checkpoint_dir=args.checkpoint_dir,
+                report_out=report_out, apply_report=apply_report)
         else:
             from ..pipeline.bam import recalibrate_cram
             stats = recalibrate_cram(args.input[0], outs[0], cfg,
@@ -170,7 +187,9 @@ def cmd_recalibrate(args) -> int:
                                      fasta_ref=args.fasta_ref,
                                      checkpoint_dir=args.checkpoint_dir,
                                      devices=devices,
-                                     bloom_layout=args.bloom_layout)
+                                     bloom_layout=args.bloom_layout,
+                                     report_out=report_out,
+                                     apply_report=apply_report)
         dt = time.time() - t0
         print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
               f"({stats['total_bases']} bases) in {dt:.2f}s "
@@ -189,7 +208,8 @@ def cmd_recalibrate(args) -> int:
                 args.input[0], outs[0], cfg, use_oq=args.use_oq,
                 set_oq=args.set_oq, checkpoint_dir=args.checkpoint_dir,
                 devices=devices, bloom_layout=args.bloom_layout,
-                chunk_records=args.chunk_reads)
+                chunk_records=args.chunk_reads,
+                report_out=report_out, apply_report=apply_report)
         else:
             from ..pipeline.bam import recalibrate_bam
             stats = recalibrate_bam(args.input[0], outs[0], cfg,
@@ -197,7 +217,9 @@ def cmd_recalibrate(args) -> int:
                                     set_oq=args.set_oq,
                                     checkpoint_dir=args.checkpoint_dir,
                                     devices=devices,
-                                    bloom_layout=args.bloom_layout)
+                                    bloom_layout=args.bloom_layout,
+                                    report_out=report_out,
+                                    apply_report=apply_report)
     else:
         import os
         total_size = sum(os.path.getsize(p) for p in args.input
@@ -211,20 +233,28 @@ def cmd_recalibrate(args) -> int:
                 checkpoint_dir=args.checkpoint_dir,
                 interleaved=args.interleaved, devices=devices,
                 bloom_layout=args.bloom_layout,
-                chunk_reads=args.chunk_reads or DEFAULT_CHUNK_READS)
+                chunk_reads=args.chunk_reads or DEFAULT_CHUNK_READS,
+                report_out=report_out, apply_report=apply_report)
         else:
             from ..pipeline import recalibrate_fastq
             stats = recalibrate_fastq(
                 args.input, outs if len(outs) > 1 else outs[0], cfg,
                 checkpoint_dir=args.checkpoint_dir,
                 interleaved=args.interleaved, devices=devices,
-                bloom_layout=args.bloom_layout)
+                bloom_layout=args.bloom_layout,
+                report_out=report_out, apply_report=apply_report)
     dt = time.time() - t0
     print(f"[kbbq-tpu] recalibrated {stats['num_reads']} reads "
           f"({stats['total_bases']} bases) in {dt:.2f}s "
           f"({stats['num_reads'] / max(dt, 1e-9):.0f} reads/s)",
           file=sys.stderr)
     return 0
+
+
+def cmd_applybqsr(args) -> int:
+    args.apply_report = args.report
+    args.report_out = None
+    return cmd_recalibrate(args)
 
 
 def cmd_benchmark(args) -> int:
@@ -247,6 +277,17 @@ def build_parser() -> argparse.ArgumentParser:
     pr = sub.add_parser("recalibrate", help="recalibrate FASTQ/BAM qualities")
     _add_recal_args(pr)
     pr.set_defaults(fn=cmd_recalibrate)
+
+    # ApplyBQSR-equivalent (reference kbbq/gatk/applybqsr.py, SURVEY.md
+    # P9): `applybqsr -r report in -o out` == `recalibrate
+    # --apply-report report in -o out`
+    pa = sub.add_parser(
+        "applybqsr",
+        help="recalibrate from an existing GATKReport (no model build)")
+    _add_recal_args(pa)
+    pa.add_argument("-r", "--report", required=True,
+                    help="GATKReport recalibration table to apply")
+    pa.set_defaults(fn=cmd_applybqsr)
 
     pb = sub.add_parser(
         "benchmark",
@@ -283,8 +324,8 @@ def main(argv=None) -> int:
     # reference C++ CLI style: `kbbq [opts] input` with no subcommand
     # (SURVEY.md §3.1 C1) — treat a leading non-subcommand arg as an
     # implicit `recalibrate`
-    if argv and argv[0] not in ("recalibrate", "benchmark", "plot",
-                                "-h", "--help"):
+    if argv and argv[0] not in ("recalibrate", "applybqsr", "benchmark",
+                                "plot", "-h", "--help"):
         argv = ["recalibrate", *argv]
     args = build_parser().parse_args(argv)
     try:

@@ -39,9 +39,19 @@ def _cycle_value(idx: int) -> int:
     return -mag if idx % 2 else mag
 
 
+def _rg_label(name: str) -> str:
+    """Report-safe read-group label: the report's columns are
+    whitespace-split, so an empty RG (reads without an RG tag) gets a
+    sentinel and embedded whitespace is folded — applied identically
+    on write and apply so the labels stay consistent keys."""
+    import re
+    return re.sub(r"\s+", "_", name) if name else "__unnamed__"
+
+
 def write_gatk_report(tables: CovariateTables, rg_names: list[str],
                       path_or_file) -> None:
     """Emit RecalTable0/1/2 in GATKReport v1.1 layout."""
+    rg_names = [_rg_label(n) for n in rg_names]
     d = compute_deltas(tables)
     qt, qe = tables.q_total(), tables.q_errors()
     rgt, rge = tables.rg_total(), tables.rg_errors()
@@ -162,7 +172,7 @@ def recal_table_from_report(report: dict, rg_names: list[str],
     the standard GATK hierarchy (DECISIONS.md D9/D10).
     """
     num_rg = len(rg_names)
-    rg_idx = {n: i for i, n in enumerate(rg_names)}
+    rg_idx = {_rg_label(n): i for i, n in enumerate(rg_names)}
     nc = 2 * max_len
 
     d_rg = np.zeros(num_rg)

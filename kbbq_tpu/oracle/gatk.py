@@ -122,6 +122,29 @@ def compute_deltas(tables: CovariateTables):
     }
 
 
+# --report-out capture: every engine (batched, resident, streamed,
+# sharded) funnels its merged host-side CovariateTables through
+# build_recal_table, so capturing here needs no per-engine plumbing
+# (SURVEY.md §3.2 P9; round-4 VERDICT missing #2)
+_table_capture: dict | None = None
+
+
+class captured_tables:
+    """Context manager: `with captured_tables() as cap:` then read
+    cap["tables"] (the CovariateTables of the last recal-table build)."""
+
+    def __enter__(self):
+        global _table_capture
+        self._prev = _table_capture
+        _table_capture = self._cap = {}
+        return self._cap
+
+    def __exit__(self, *exc):
+        global _table_capture
+        _table_capture = self._prev
+        return False
+
+
 def build_recal_table(tables: CovariateTables) -> np.ndarray:
     """Dense final-quality lookup Q'[rg, q, cycle_idx, dinuc(17)] int8 (D10).
 
@@ -129,6 +152,8 @@ def build_recal_table(tables: CovariateTables) -> np.ndarray:
     round-half-even; dinuc index DINUC_INVALID contributes ΔDin = 0.  The
     device recalibration pass is a pure gather over this table.
     """
+    if _table_capture is not None:
+        _table_capture["tables"] = tables
     d = compute_deltas(tables)
     rg_n = tables.num_rg
     nc = 2 * tables.max_len

@@ -394,6 +394,11 @@ class ShardedBloomRecalPipeline:
         self._recal_dev = self._replicate(jnp.asarray(self.recal_table))
         return self.recal_table
 
+    def set_recal_table(self, table) -> None:
+        """Install an externally-built Q' table (apply-report mode, P9)."""
+        self.recal_table = np.asarray(table, np.int8)
+        self._recal_dev = self._replicate(jnp.asarray(self.recal_table))
+
     def apply_recal(self, b: Batch):
         codes, quals, mask, rgs, seconds = self._put_batch(
             b, ("codes", "quals", "mask", "rgs", "seconds"))

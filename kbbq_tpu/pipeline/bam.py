@@ -85,7 +85,9 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
                               checkpoint_dir: str | None = None,
                               devices: int | None = None,
                               bloom_layout: str = "auto",
-                              chunk_records: int | None = None) -> dict:
+                              chunk_records: int | None = None,
+                              report_out: str | None = None,
+                              apply_report: str | None = None) -> dict:
     """BAM -> BAM recalibration with O(chunk) host memory: every pass
     re-streams records through the incremental BGZF codec; pass 4 writes
     records out as they are rewritten (secondary/supplementary pass
@@ -100,7 +102,8 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
         from .stream_resident import recalibrate_bam_stream_resident
         return recalibrate_bam_stream_resident(
             in_path, out_path, config, use_oq=use_oq, set_oq=set_oq,
-            checkpoint_dir=checkpoint_dir, chunk_records=chunk_records)
+            checkpoint_dir=checkpoint_dir, chunk_records=chunk_records,
+            report_out=report_out, apply_report=apply_report)
 
     chunk_records = chunk_records or DEFAULT_CHUNK_RECORDS
     k = config.k
@@ -127,28 +130,38 @@ def recalibrate_bam_streaming(in_path: str, out_path, config: RecalConfig,
                                    max_len, use_oq, chunk_records)
 
     from .streaming import _get_rows, _load_rows
-    rows = ckpt.load_array("rows_a") if ckpt else None
-    if rows is not None:
-        _load_rows(pipe, kind, "a", rows)
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        pipe.set_recal_table(recal_table_from_report(
+            read_gatk_report(apply_report), _registry_names(registry),
+            max_len))
     else:
-        pipe.run_pass1(mk())
-        if ckpt:
-            ckpt.save_array("rows_a", _get_rows(pipe, kind, "a"))
-    rows = ckpt.load_array("rows_b") if ckpt else None
-    if rows is not None:
-        _load_rows(pipe, kind, "b", rows)
-    else:
-        pipe.run_pass2(mk())
-        if ckpt:
-            ckpt.save_array("rows_b", _get_rows(pipe, kind, "b"))
-    loaded = ckpt.load_covariates() if ckpt else None
-    if loaded is not None:
-        pipe.cov.totals = loaded
-    else:
-        pipe.run_pass3(mk())
-        if ckpt:
-            ckpt.save_covariates(pipe.cov.totals)
-    pipe.compute_recal_table()
+        rows = ckpt.load_array("rows_a") if ckpt else None
+        if rows is not None:
+            _load_rows(pipe, kind, "a", rows)
+        else:
+            pipe.run_pass1(mk())
+            if ckpt:
+                ckpt.save_array("rows_a", _get_rows(pipe, kind, "a"))
+        rows = ckpt.load_array("rows_b") if ckpt else None
+        if rows is not None:
+            _load_rows(pipe, kind, "b", rows)
+        else:
+            pipe.run_pass2(mk())
+            if ckpt:
+                ckpt.save_array("rows_b", _get_rows(pipe, kind, "b"))
+        loaded = ckpt.load_covariates() if ckpt else None
+        if loaded is not None:
+            pipe.cov.totals = loaded
+        else:
+            pipe.run_pass3(mk())
+            if ckpt:
+                ckpt.save_covariates(pipe.cov.totals)
+        pipe.compute_recal_table()
+        if report_out is not None:
+            from ..gatk_report import write_gatk_report
+            write_gatk_report(pipe.cov.totals, _registry_names(registry),
+                              report_out)
 
     # pass 4: re-stream ALL records; rewrite primaries whole-chunk
     # (vectorized decode + in-buffer qual scatter, io/bam_vec.py) and
@@ -189,7 +202,9 @@ def recalibrate_cram(in_path: str, out_path, config: RecalConfig,
                      fasta_ref: str | None = None,
                      checkpoint_dir: str | None = None,
                      devices: int | None = None,
-                     bloom_layout: str = "auto") -> dict:
+                     bloom_layout: str = "auto",
+                     report_out: str | None = None,
+                     apply_report: str | None = None) -> dict:
     """CRAM input (SURVEY.md C7: the reference reads CRAM via htslib).
 
     Decoded records share the BAM record model (io/cram.py), so the
@@ -197,7 +212,7 @@ def recalibrate_cram(in_path: str, out_path, config: RecalConfig,
     output extension (.cram re-encodes via io/cram_write.py, else BAM).
     """
     from ..io.cram import read_cram
-    from .recalibrate import run_pipeline
+    from .recalibrate import _run_or_apply
 
     bf, _ = read_cram(in_path, fasta_ref=fasta_ref)
     primary = [r for r in bf.records
@@ -213,8 +228,10 @@ def recalibrate_cram(in_path: str, out_path, config: RecalConfig,
     max_len = int(lens.max(initial=1))
     arrays = ReadArrays.from_lists(codes_list, quals_list, rgs, seconds,
                                    max_len=max_len)
-    new_quals = run_pipeline(arrays, config, checkpoint_dir=checkpoint_dir,
-                             devices=devices, bloom_layout=bloom_layout)
+    new_quals = _run_or_apply(arrays, config, _registry_names(registry),
+                              report_out, apply_report,
+                              checkpoint_dir=checkpoint_dir,
+                              devices=devices, bloom_layout=bloom_layout)
     total_bases = 0
     for i, rec in enumerate(primary):
         L = int(lens[i])
@@ -263,12 +280,20 @@ def bam_read_group_ids(bf, records):
     return rgs, registry
 
 
+def _registry_names(registry: dict) -> list:
+    """Registry (RG tag -> dense id) back to names in dense-id order —
+    the ReadGroup labels GATK-report interop keys on (P9)."""
+    return [k for k, _ in sorted(registry.items(), key=lambda kv: kv[1])]
+
+
 def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
                     use_oq: bool = False, set_oq: bool = False,
                     checkpoint_dir: str | None = None,
                     devices: int | None = None,
-                    bloom_layout: str = "auto") -> dict:
-    from .recalibrate import run_pipeline
+                    bloom_layout: str = "auto",
+                    report_out: str | None = None,
+                    apply_report: str | None = None) -> dict:
+    from .recalibrate import _run_or_apply
 
     # SAM text and BAM share one record model (htslib sam_read1 duality,
     # SURVEY.md C7); the serializer matches the input format
@@ -312,8 +337,10 @@ def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
         max_len = int(lens.max(initial=1))
         arrays = ReadArrays.from_lists(codes_list, quals_list, rgs,
                                        seconds, max_len=max_len)
-    new_quals = run_pipeline(arrays, config, checkpoint_dir=checkpoint_dir,
-                             devices=devices, bloom_layout=bloom_layout)
+    new_quals = _run_or_apply(arrays, config, _registry_names(registry),
+                              report_out, apply_report,
+                              checkpoint_dir=checkpoint_dir,
+                              devices=devices, bloom_layout=bloom_layout)
 
     total_bases = 0
     for i, rec in enumerate(primary):

@@ -223,7 +223,9 @@ def recalibrate_cram_stream_resident(
         fasta_ref: str | None = None,
         checkpoint_dir: str | None = None,
         window_reads: int | None = None,
-        timings: dict | None = None) -> dict:
+        timings: dict | None = None,
+        report_out: str | None = None,
+        apply_report: str | None = None) -> dict:
     """CRAM -> CRAM streaming recalibration, resident-window engine.
 
     Pass 4 rewrites each container's QS blocks in place (everything
@@ -280,35 +282,48 @@ def recalibrate_cram_stream_resident(
               "num_reads": n, "total_bases": bases, "cram": True}
         ckpt.check_fingerprint(fp)
 
-    rows = ckpt.load_array("rows_a") if ckpt else None
-    if rows is not None:
-        eng.rows_a = jnp.asarray(rows)
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        from .bam import _registry_names
+        recal = recal_table_from_report(
+            read_gatk_report(apply_report), _registry_names(registry),
+            eng.L)
+        _mark("apply-table")
     else:
-        eng.run_pass1()
-        if ckpt:
-            ckpt.save_array("rows_a", eng.rows_a)
-    _mark("pass1")
+        rows = ckpt.load_array("rows_a") if ckpt else None
+        if rows is not None:
+            eng.rows_a = jnp.asarray(rows)
+        else:
+            eng.run_pass1()
+            if ckpt:
+                ckpt.save_array("rows_a", eng.rows_a)
+        _mark("pass1")
 
-    rows = ckpt.load_array("rows_b") if ckpt else None
-    if rows is not None:
-        eng.rows_b = jnp.asarray(rows)
-    else:
-        eng.run_pass2()
-        if ckpt:
-            ckpt.save_array("rows_b", eng.rows_b)
-    _mark("pass2")
+        rows = ckpt.load_array("rows_b") if ckpt else None
+        if rows is not None:
+            eng.rows_b = jnp.asarray(rows)
+        else:
+            eng.run_pass2()
+            if ckpt:
+                ckpt.save_array("rows_b", eng.rows_b)
+        _mark("pass2")
 
-    loaded = ckpt.load_covariates() if ckpt else None
-    if loaded is not None:
-        eng.tables = loaded
-    else:
-        eng.run_pass3()
-        if ckpt:
-            ckpt.save_covariates(eng.tables)
-    _mark("pass3")
+        loaded = ckpt.load_covariates() if ckpt else None
+        if loaded is not None:
+            eng.tables = loaded
+        else:
+            eng.run_pass3()
+            if ckpt:
+                ckpt.save_covariates(eng.tables)
+        _mark("pass3")
 
-    recal = eng.compute_recal_table()
-    _mark("deltas")
+        recal = eng.compute_recal_table()
+        if report_out is not None:
+            from ..gatk_report import write_gatk_report
+            from .bam import _registry_names
+            write_gatk_report(eng.tables, _registry_names(registry),
+                              report_out)
+        _mark("deltas")
 
     # ------------------------------------------------------- pass 4
     writer = CramStreamWriter(out_path, header_text, rg_names)

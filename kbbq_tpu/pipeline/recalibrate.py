@@ -211,6 +211,11 @@ class RecalPipeline:
         self._recal_dev = jnp.asarray(self.recal_table)
         return self.recal_table
 
+    def set_recal_table(self, table) -> None:
+        """Install an externally-built Q' table (apply-report mode, P9)."""
+        self.recal_table = np.asarray(table, np.int8)
+        self._recal_dev = jnp.asarray(self.recal_table)
+
     def apply_recal(self, b: Batch):
         """Pass-4 gather for ONE batch; returns the device array (caller
         controls the device->host transfer overlap).  Uniform across the
@@ -373,22 +378,11 @@ def run_pipeline(arrays: ReadArrays, config: RecalConfig,
     raise ValueError(f"unknown bloom layout {bloom_layout!r}")
 
 
-def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
-                      checkpoint_dir: str | None = None,
-                      interleaved: bool = False,
-                      devices: int | None = None,
-                      bloom_layout: str = "auto") -> dict:
-    """FASTQ -> FASTQ recalibration (the reference CLI's main flow).
+def _load_fastq_arrays(in_paths, interleaved: bool):
+    """Load FASTQ inputs into one padded ReadArrays (each input file is
+    its own read group, DECISIONS.md D8): (fqs, mask_list, arrays)."""
+    from ..io.fastq import extract_padded_arrays, read_fastq
 
-    Accepts one path or a list; each input file is its own read group
-    (DECISIONS.md D8).  out_paths: matching list, a single path, or a
-    writable (outputs concatenated in input order).
-    """
-    from ..io.fastq import extract_padded_arrays, read_fastq, \
-        write_fastq_with_quals
-
-    if isinstance(in_paths, (str, bytes)):
-        in_paths = [in_paths]
     fqs = [read_fastq(p) for p in in_paths]
     parts = [extract_padded_arrays(fq) for fq in fqs]
     max_len = max((p[0].shape[1] for p in parts if p[0].shape[0]),
@@ -412,8 +406,13 @@ def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
     arrays = ReadArrays(np.concatenate(codes_l), np.concatenate(quals_l),
                         np.concatenate(mask_l), np.concatenate(rg_l),
                         np.concatenate(sec_l))
-    new_quals = run_pipeline(arrays, config, checkpoint_dir=checkpoint_dir,
-                             devices=devices, bloom_layout=bloom_layout)
+    return fqs, mask_l, arrays
+
+
+def _write_fastq_outputs(fqs, mask_l, new_quals, out_paths) -> None:
+    """Route per-input qual rows to out_paths (matching list, one
+    concatenated sink path, or a writable)."""
+    from ..io.fastq import write_fastq_with_quals
 
     # A single path (or file object) with multiple inputs is ONE
     # concatenated sink: open it once so later inputs append rather than
@@ -438,6 +437,79 @@ def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
     finally:
         if opened is not None:
             opened.close()
+
+
+def apply_table_arrays(arrays: ReadArrays, recal_table: np.ndarray,
+                       batch_size: int) -> np.ndarray:
+    """Pass 4 ONLY: apply an externally-supplied recal table — the
+    ApplyBQSR-equivalent compute path (reference kbbq/gatk/applybqsr.py,
+    SURVEY.md §3.2 P9).  Same gather the full pipeline's pass 4 uses,
+    so a table rebuilt from a report reproduces the direct run."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    recal = jnp.asarray(recal_table)
+    futs, reals = [], []
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for b in Batcher(arrays, batch_size):
+            nq = apply_recal_table(
+                recal, jnp.asarray(b.codes), jnp.asarray(b.quals),
+                jnp.asarray(b.mask), jnp.asarray(b.rgs),
+                jnp.asarray(b.seconds))
+            futs.append(ex.submit(np.asarray, nq))
+            reals.append(b.num_real)
+        outs = [f.result() for f in futs]
+    if not outs:
+        return np.zeros((0, 0), np.int8)
+    return np.concatenate([o[:r] for o, r in zip(outs, reals)], axis=0)
+
+
+def _run_or_apply(arrays, config, rg_names, report_out, apply_report,
+                  **run_kwargs):
+    """Engine dispatch for report-interop-aware drivers (P9):
+    apply_report -> pass-4-only from a parsed GATKReport; report_out ->
+    full pipeline + report emission; else the plain pipeline."""
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        table = recal_table_from_report(
+            read_gatk_report(apply_report), rg_names, arrays.max_len)
+        return apply_table_arrays(arrays, table, config.batch_size)
+    if report_out is not None:
+        from ..gatk_report import write_gatk_report
+        from ..oracle.gatk import captured_tables
+        with captured_tables() as cap:
+            new_quals = run_pipeline(arrays, config, **run_kwargs)
+        write_gatk_report(cap["tables"], rg_names, report_out)
+        return new_quals
+    return run_pipeline(arrays, config, **run_kwargs)
+
+
+def recalibrate_fastq(in_paths, out_paths, config: RecalConfig,
+                      checkpoint_dir: str | None = None,
+                      interleaved: bool = False,
+                      devices: int | None = None,
+                      bloom_layout: str = "auto",
+                      report_out: str | None = None,
+                      apply_report: str | None = None) -> dict:
+    """FASTQ -> FASTQ recalibration (the reference CLI's main flow).
+
+    Accepts one path or a list; each input file is its own read group
+    (DECISIONS.md D8).  out_paths: matching list, a single path, or a
+    writable (outputs concatenated in input order).
+
+    report_out: also write the computed covariates as a GATKReport.
+    apply_report: SKIP passes 1-3 and recalibrate from a previously
+    written report instead (ApplyBQSR-equivalent; read groups match by
+    input path, so pass the same inputs in the same order).
+    """
+    if isinstance(in_paths, (str, bytes)):
+        in_paths = [in_paths]
+    fqs, mask_l, arrays = _load_fastq_arrays(in_paths, interleaved)
+    new_quals = _run_or_apply(arrays, config,
+                              [str(p) for p in in_paths],
+                              report_out, apply_report,
+                              checkpoint_dir=checkpoint_dir,
+                              devices=devices, bloom_layout=bloom_layout)
+    _write_fastq_outputs(fqs, mask_l, new_quals, out_paths)
     return {"num_reads": arrays.num_reads,
             "total_bases": int(arrays.mask.sum()),
             "read_groups": len(fqs)}

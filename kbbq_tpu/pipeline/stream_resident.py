@@ -488,12 +488,16 @@ def recalibrate_fastq_stream_resident(
         checkpoint_dir: str | None = None,
         interleaved: bool = False,
         chunk_reads: int = DEFAULT_CHUNK_READS,
-        timings: dict | None = None) -> dict:
+        timings: dict | None = None,
+        report_out: str | None = None,
+        apply_report: str | None = None) -> dict:
     """FASTQ -> FASTQ streaming recalibration, resident-window engine.
 
     Same output-path semantics, checkpoints, and pass-4 chunk-offset
     resume as pipeline/streaming.py::recalibrate_fastq_streaming —
     byte-identical output to the in-RAM pipelines for any chunk size.
+    report_out/apply_report: GATK-report emission / ApplyBQSR-equivalent
+    pass-4-only mode (P9), matching pipeline/recalibrate.py semantics.
     """
     import time as _time
     t_last = [_time.time()]
@@ -517,35 +521,46 @@ def recalibrate_fastq_stream_resident(
         ckpt = Checkpoint(checkpoint_dir)
         ckpt.check_fingerprint(stream_fingerprint(config, in_paths, scan))
 
-    rows = ckpt.load_array("rows_a") if ckpt else None
-    if rows is not None:
-        eng.rows_a = jnp.asarray(rows)
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        recal = recal_table_from_report(
+            read_gatk_report(apply_report),
+            [str(p) for p in in_paths], eng.L)
+        _mark("apply-table")
     else:
-        eng.run_pass1()
-        if ckpt:
-            ckpt.save_array("rows_a", eng.rows_a)
-    _mark("pass1")
+        rows = ckpt.load_array("rows_a") if ckpt else None
+        if rows is not None:
+            eng.rows_a = jnp.asarray(rows)
+        else:
+            eng.run_pass1()
+            if ckpt:
+                ckpt.save_array("rows_a", eng.rows_a)
+        _mark("pass1")
 
-    rows = ckpt.load_array("rows_b") if ckpt else None
-    if rows is not None:
-        eng.rows_b = jnp.asarray(rows)
-    else:
-        eng.run_pass2()
-        if ckpt:
-            ckpt.save_array("rows_b", eng.rows_b)
-    _mark("pass2")
+        rows = ckpt.load_array("rows_b") if ckpt else None
+        if rows is not None:
+            eng.rows_b = jnp.asarray(rows)
+        else:
+            eng.run_pass2()
+            if ckpt:
+                ckpt.save_array("rows_b", eng.rows_b)
+        _mark("pass2")
 
-    loaded = ckpt.load_covariates() if ckpt else None
-    if loaded is not None:
-        eng.tables = loaded
-    else:
-        eng.run_pass3()
-        if ckpt:
-            ckpt.save_covariates(eng.tables)
-    _mark("pass3")
+        loaded = ckpt.load_covariates() if ckpt else None
+        if loaded is not None:
+            eng.tables = loaded
+        else:
+            eng.run_pass3()
+            if ckpt:
+                ckpt.save_covariates(eng.tables)
+        _mark("pass3")
 
-    recal = eng.compute_recal_table()
-    _mark("deltas")
+        recal = eng.compute_recal_table()
+        if report_out is not None:
+            from ..gatk_report import write_gatk_report
+            write_gatk_report(eng.tables, [str(p) for p in in_paths],
+                              report_out)
+        _mark("deltas")
 
     # ------------------------------------------------------- pass 4
     # host-side gather per chunk (the recal table is tiny; no device
@@ -635,7 +650,9 @@ def recalibrate_bam_stream_resident(
         checkpoint_dir: str | None = None,
         chunk_records: int | None = None,
         window_reads: int | None = None,
-        timings: dict | None = None) -> dict:
+        timings: dict | None = None,
+        report_out: str | None = None,
+        apply_report: str | None = None) -> dict:
     """BAM -> BAM streaming recalibration, resident-window engine.
 
     The BAM twin of recalibrate_fastq_stream_resident: one jit per pass
@@ -685,35 +702,48 @@ def recalibrate_bam_stream_resident(
               "num_reads": n, "total_bases": bases, "bam": True}
         ckpt.check_fingerprint(fp)
 
-    rows = ckpt.load_array("rows_a") if ckpt else None
-    if rows is not None:
-        eng.rows_a = jnp.asarray(rows)
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        from .bam import _registry_names
+        recal = recal_table_from_report(
+            read_gatk_report(apply_report), _registry_names(registry),
+            eng.L)
+        _mark("apply-table")
     else:
-        eng.run_pass1()
-        if ckpt:
-            ckpt.save_array("rows_a", eng.rows_a)
-    _mark("pass1")
+        rows = ckpt.load_array("rows_a") if ckpt else None
+        if rows is not None:
+            eng.rows_a = jnp.asarray(rows)
+        else:
+            eng.run_pass1()
+            if ckpt:
+                ckpt.save_array("rows_a", eng.rows_a)
+        _mark("pass1")
 
-    rows = ckpt.load_array("rows_b") if ckpt else None
-    if rows is not None:
-        eng.rows_b = jnp.asarray(rows)
-    else:
-        eng.run_pass2()
-        if ckpt:
-            ckpt.save_array("rows_b", eng.rows_b)
-    _mark("pass2")
+        rows = ckpt.load_array("rows_b") if ckpt else None
+        if rows is not None:
+            eng.rows_b = jnp.asarray(rows)
+        else:
+            eng.run_pass2()
+            if ckpt:
+                ckpt.save_array("rows_b", eng.rows_b)
+        _mark("pass2")
 
-    loaded = ckpt.load_covariates() if ckpt else None
-    if loaded is not None:
-        eng.tables = loaded
-    else:
-        eng.run_pass3()
-        if ckpt:
-            ckpt.save_covariates(eng.tables)
-    _mark("pass3")
+        loaded = ckpt.load_covariates() if ckpt else None
+        if loaded is not None:
+            eng.tables = loaded
+        else:
+            eng.run_pass3()
+            if ckpt:
+                ckpt.save_covariates(eng.tables)
+        _mark("pass3")
 
-    recal = eng.compute_recal_table()
-    _mark("deltas")
+        recal = eng.compute_recal_table()
+        if report_out is not None:
+            from ..gatk_report import write_gatk_report
+            from .bam import _registry_names
+            write_gatk_report(eng.tables, _registry_names(registry),
+                              report_out)
+        _mark("deltas")
 
     # pass 4: cached-or-streamed raw chunks + host gather + in-buffer
     # rewrite; the whole chunk (secondary/supplementary included)

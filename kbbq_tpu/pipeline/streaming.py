@@ -97,12 +97,16 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
                                 interleaved: bool = False,
                                 devices: int | None = None,
                                 bloom_layout: str = "auto",
-                                chunk_reads: int = DEFAULT_CHUNK_READS
+                                chunk_reads: int = DEFAULT_CHUNK_READS,
+                                report_out: str | None = None,
+                                apply_report: str | None = None
                                 ) -> dict:
     """FASTQ -> FASTQ recalibration with O(chunk) host memory.
 
     Output semantics match recalibrate_fastq: a single path/writable is
     one concatenated sink; a list gives one output per input file.
+    report_out/apply_report: GATK-report emission / ApplyBQSR-equivalent
+    pass-4-only mode (P9), matching pipeline/recalibrate.py semantics.
     """
     if isinstance(in_paths, (str, bytes)):
         in_paths = [in_paths]
@@ -115,7 +119,8 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
         from .stream_resident import recalibrate_fastq_stream_resident
         return recalibrate_fastq_stream_resident(
             in_paths, out_paths, config, checkpoint_dir=checkpoint_dir,
-            interleaved=interleaved, chunk_reads=chunk_reads)
+            interleaved=interleaved, chunk_reads=chunk_reads,
+            report_out=report_out, apply_report=apply_report)
 
     scan = scan_fastq_files(in_paths, k, chunk_reads)
     num_rg = len(in_paths)
@@ -133,31 +138,41 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
         return StreamingBatches(in_paths, config.batch_size, scan.max_len,
                                 chunk_reads, interleaved)
 
-    rows = ckpt.load_array("rows_a") if ckpt else None
-    if rows is not None:
-        _load_rows(pipe, kind, "a", rows)
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        pipe.set_recal_table(recal_table_from_report(
+            read_gatk_report(apply_report),
+            [str(p) for p in in_paths], scan.max_len))
     else:
-        pipe.run_pass1(mk())
-        if ckpt:
-            ckpt.save_array("rows_a", _get_rows(pipe, kind, "a"))
+        rows = ckpt.load_array("rows_a") if ckpt else None
+        if rows is not None:
+            _load_rows(pipe, kind, "a", rows)
+        else:
+            pipe.run_pass1(mk())
+            if ckpt:
+                ckpt.save_array("rows_a", _get_rows(pipe, kind, "a"))
 
-    rows = ckpt.load_array("rows_b") if ckpt else None
-    if rows is not None:
-        _load_rows(pipe, kind, "b", rows)
-    else:
-        pipe.run_pass2(mk())
-        if ckpt:
-            ckpt.save_array("rows_b", _get_rows(pipe, kind, "b"))
+        rows = ckpt.load_array("rows_b") if ckpt else None
+        if rows is not None:
+            _load_rows(pipe, kind, "b", rows)
+        else:
+            pipe.run_pass2(mk())
+            if ckpt:
+                ckpt.save_array("rows_b", _get_rows(pipe, kind, "b"))
 
-    loaded = ckpt.load_covariates() if ckpt else None
-    if loaded is not None:
-        pipe.cov.totals = loaded
-    else:
-        pipe.run_pass3(mk())
-        if ckpt:
-            ckpt.save_covariates(pipe.cov.totals)
+        loaded = ckpt.load_covariates() if ckpt else None
+        if loaded is not None:
+            pipe.cov.totals = loaded
+        else:
+            pipe.run_pass3(mk())
+            if ckpt:
+                ckpt.save_covariates(pipe.cov.totals)
 
-    pipe.compute_recal_table()
+        pipe.compute_recal_table()
+        if report_out is not None:
+            from ..gatk_report import write_gatk_report
+            write_gatk_report(pipe.cov.totals,
+                              [str(p) for p in in_paths], report_out)
 
     # ------------------------------------------------------- pass 4
     # stream chunks again; rewrite each chunk's quality bytes and append.

@@ -183,3 +183,81 @@ def test_cram_cli_end_to_end(tmp_path):
     changed = sum(1 for a, b in zip(recs, got.records)
                   if not (a.quals() == b.quals()).all())
     assert changed > len(recs) // 2  # quals actually recalibrated
+
+
+def test_cli_report_roundtrip_fastq(fq_file, tmp_path):
+    """P9 apply path: recalibrate --report-out then applybqsr from that
+    report reproduces the direct run byte-for-byte (reference
+    kbbq/gatk/applybqsr.py semantics)."""
+    rpt = tmp_path / "recal.txt"
+    out1 = tmp_path / "direct.fq"
+    r = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
+                "--batch-size", "64", "--report-out", str(rpt),
+                "-o", str(out1))
+    assert r.returncode == 0, r.stderr.decode()
+    assert rpt.read_text().startswith("#:GATKReport.v1.1:3")
+    out2 = tmp_path / "applied.fq"
+    r = run_cli("applybqsr", "-r", str(rpt), str(fq_file), "-k", "16",
+                "-c", "15", "--batch-size", "64", "-o", str(out2))
+    assert r.returncode == 0, r.stderr.decode()
+    assert out1.read_bytes() == out2.read_bytes()
+    # --apply-report is the same path through `recalibrate`
+    out3 = tmp_path / "applied2.fq"
+    r = run_cli("recalibrate", "--apply-report", str(rpt), str(fq_file),
+                "-k", "16", "-c", "15", "--batch-size", "64",
+                "-o", str(out3))
+    assert r.returncode == 0, r.stderr.decode()
+    assert out1.read_bytes() == out3.read_bytes()
+    # streamed apply matches too
+    out4 = tmp_path / "applied_stream.fq"
+    r = run_cli("recalibrate", "--apply-report", str(rpt), "--stream",
+                str(fq_file), "-k", "16", "-c", "15",
+                "--batch-size", "64", "-o", str(out4))
+    assert r.returncode == 0, r.stderr.decode()
+    assert out1.read_bytes() == out4.read_bytes()
+
+
+def test_cli_report_roundtrip_bam(tmp_path):
+    import numpy as np
+    from kbbq_tpu.io.bam import BamFile, build_record, serialize_bam
+    rng = np.random.default_rng(88)
+    recs = []
+    for i in range(60):
+        codes = rng.integers(0, 4, 50).astype(np.int8)
+        quals = rng.integers(8, 40, 50).astype(np.int8)
+        recs.append(build_record(
+            f"r{i}", codes, quals, flag=0x10 if i % 2 else 0,
+            rg="rgA" if i % 3 else "rgB"))
+    p = tmp_path / "in.bam"
+    p.write_bytes(serialize_bam(BamFile("@HD\tVN:1.6\n", [], recs)))
+    rpt = tmp_path / "recal.txt"
+    out1 = tmp_path / "direct.bam"
+    r = run_cli("recalibrate", str(p), "-k", "16", "-c", "10",
+                "--batch-size", "16", "--report-out", str(rpt),
+                "-o", str(out1))
+    assert r.returncode == 0, r.stderr.decode()
+    out2 = tmp_path / "applied.bam"
+    r = run_cli("applybqsr", "-r", str(rpt), str(p), "-k", "16",
+                "-c", "10", "--batch-size", "16", "-o", str(out2))
+    assert r.returncode == 0, r.stderr.decode()
+    assert out1.read_bytes() == out2.read_bytes()
+    # streamed BAM apply matches on decoded records (BGZF framing may
+    # differ between the whole-file and chunked writers)
+    out3 = tmp_path / "applied_stream.bam"
+    r = run_cli("recalibrate", "--apply-report", str(rpt), "--stream",
+                str(p), "-k", "16", "-c", "10", "--batch-size", "16",
+                "-o", str(out3))
+    assert r.returncode == 0, r.stderr.decode()
+    from kbbq_tpu.io.bam import read_bam
+    a, b = read_bam(str(out1)), read_bam(str(out3))
+    assert a.num_records == b.num_records
+    for ra, rb in zip(a.records, b.records):
+        assert ra.name == rb.name
+        assert (ra.quals() == rb.quals()).all()
+
+
+def test_cli_report_exclusive_flags(fq_file, tmp_path):
+    r = run_cli("recalibrate", str(fq_file), "--report-out", "a",
+                "--apply-report", "b")
+    assert r.returncode != 0
+    assert b"exclusive" in r.stderr
