@@ -179,7 +179,9 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
     Streams the BAM in chunks (bounded memory at WGS scale).  CRAM
     input is decoded (CIGARs reconstructed from features, the
     --reference FASTA doubles as the CRAM reference) and re-serialized
-    through the same chunked walk."""
+    through the same chunked walk — NOTE: that decode is whole-file
+    in memory + a temp BAM on disk, so WGS-scale benchmarking should
+    feed BAM directly (ADVICE round 4)."""
     import struct
 
     if str(bam_path).endswith(".cram"):
@@ -249,19 +251,6 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
     q_chunks: list[np.ndarray] = []
     e_chunks: list[np.ndarray] = []
 
-    def _u8(buf, offs):
-        return buf[offs].astype(np.int64)
-
-    def _u16(buf, offs):
-        return _u8(buf, offs) | (_u8(buf, offs + 1) << 8)
-
-    def _u32f(buf, offs):
-        return _u16(buf, offs) | (_u16(buf, offs + 2) << 16)
-
-    def _i32(buf, offs):
-        return _u32f(buf, offs).astype(np.uint32).astype(
-            np.int32).astype(np.int64)
-
     # per-refid lookup tables (None = chromosome absent from the FASTA)
     ref_codes_by_id = [ref_codes_by_name.get(nm) for nm in ref_names]
     var_mask_by_id = [var_mask_by_name.get(nm) for nm in ref_names]
@@ -299,20 +288,22 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
                 rpos += ln
             # H, P consume nothing
 
+    # single source of truth for the BAM record layout: io/bam_vec.py
+    # field math (round-4 VERDICT weak #5 — no second hand-rolled
+    # reader to keep in sync)
+    from .io.bam_vec import _u32, bam_fields
+
     for buf, offs, sizes in raw_chunks:
         # whole-chunk vector field extraction — no per-record objects
-        refid = _i32(buf, offs)
-        pos = _i32(buf, offs + 4)
-        l_rn = _u8(buf, offs + 8)
-        n_cig = _u16(buf, offs + 12)
-        flag = _u16(buf, offs + 14)
-        l_seq = _i32(buf, offs + 16)
+        F = bam_fields(buf, offs)
+        refid, pos, l_rn = F["refid"], F["pos"], F["l_rn"]
+        n_cig, flag, l_seq = F["n_cig"], F["flag"], F["l_seq"]
         keep = (refid >= 0) & ((flag & 0x904) == 0)
         keep &= np.isin(refid, np.flatnonzero(ref_len_by_id >= 0))
         cig_off = offs + 32 + l_rn
         # first cigar op (guarded: only meaningful where n_cig >= 1)
         safe = np.minimum(cig_off, buf.size - 4)
-        first = _u32f(buf, safe)
+        first = _u32(buf, safe)
         single_m = (n_cig == 1) & ((first & 0xF) == 0) & \
             ((first >> 4) == l_seq)
         in_ref = pos + l_seq <= ref_len_by_id[np.clip(refid, 0, None)]
@@ -336,7 +327,7 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
         idx_fast = np.flatnonzero(fast)
         if idx_fast.size == 0:
             continue
-        seq_off = cig_off + 4 * n_cig
+        seq_off = F["seq_off"]
         key = refid[idx_fast] * (1 << 32) + l_seq[idx_fast]
         for kkey in np.unique(key):
             sel = idx_fast[key == kkey]

@@ -380,11 +380,14 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
     pipe.run_pass3(mk())
     pipe.compute_recal_table()
 
-    # pass 4: local, per owned file
+    # pass 4: local, per owned file (.gz sinks BGZF-compress)
+    from ..io.fastq import open_fastq_sink
+    from contextlib import closing
+
     written = 0
     for (path, start), rg in zip(shard.paths, shard.rg_ids):
         out = out_paths[rg]
-        with open(out, "wb") as sink:
+        with closing(open_fastq_sink(out)) as sink:
             ordinal = start
             def chunks():
                 nonlocal ordinal

@@ -418,9 +418,11 @@ def _write_fastq_outputs(fqs, mask_l, new_quals, out_paths) -> None:
     # concatenated sink: open it once so later inputs append rather than
     # truncate (a str sink opened per-input with 'wb' silently kept only
     # the last file's reads — ADVICE.md round-1 high-severity finding).
+    from ..io.fastq import open_fastq_sink
+
     opened = None
     if isinstance(out_paths, (str, bytes)) and len(fqs) > 1:
-        opened = open(out_paths, "wb")
+        opened = open_fastq_sink(out_paths)
         out_paths = [opened] * len(fqs)
     elif isinstance(out_paths, (str, bytes)) or not isinstance(
             out_paths, (list, tuple)):

@@ -566,13 +566,18 @@ def recalibrate_fastq_stream_resident(
     # host-side gather per chunk (the recal table is tiny; no device
     # traffic at all) + incremental write with chunk-offset resume —
     # same sink semantics as pipeline/streaming.py
+    from ..io.fastq import is_gz_path, open_fastq_sink
+
     single_sink = not isinstance(out_paths, (list, tuple))
     opened: list = []
     done_chunks = 0
     meta = ckpt.load_meta() if ckpt else {}
     p4 = meta.get("pass4")
+    # byte-offset resume needs a seekable plain sink; a .gz sink is a
+    # compressed stream, so its pass 4 restarts from chunk 0 instead
     resumable = (ckpt is not None and single_sink
-                 and isinstance(out_paths, (str, bytes)))
+                 and isinstance(out_paths, (str, bytes))
+                 and not is_gz_path(out_paths))
     if resumable and p4:
         done_chunks = int(p4["chunks"])
 
@@ -583,7 +588,7 @@ def recalibrate_fastq_stream_resident(
                 f.truncate(int(p4["bytes"]))
                 f.seek(int(p4["bytes"]))
             else:
-                f = open(out_paths, "wb")
+                f = open_fastq_sink(out_paths)
             opened.append(f)
             sinks = [f]
         else:
@@ -594,7 +599,7 @@ def recalibrate_fastq_stream_resident(
         sinks = []
         for o in out_paths:
             if isinstance(o, (str, bytes)):
-                f = open(o, "wb")
+                f = open_fastq_sink(o)
                 opened.append(f)
                 sinks.append(f)
             else:

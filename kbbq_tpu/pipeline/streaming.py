@@ -184,12 +184,16 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
             return sinks[0]
         return sinks[file_idx]
 
-    # pass-4 resume: skip chunks already written (single str sink only)
+    # pass-4 resume: skip chunks already written (single str sink only;
+    # a .gz sink is a compressed stream — no byte-offset resume)
+    from ..io.fastq import is_gz_path, open_fastq_sink
+
     done_chunks = 0
     meta = ckpt.load_meta() if ckpt else {}
     p4 = meta.get("pass4")
     resumable = (ckpt is not None and single_sink
-                 and isinstance(out_paths, (str, bytes)))
+                 and isinstance(out_paths, (str, bytes))
+                 and not is_gz_path(out_paths))
     if resumable and p4:
         done_chunks = int(p4["chunks"])
 
@@ -200,7 +204,7 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
                 f.truncate(int(p4["bytes"]))
                 f.seek(int(p4["bytes"]))
             else:
-                f = open(out_paths, "wb")
+                f = open_fastq_sink(out_paths)
             opened.append(f)
             sinks = [f]
         else:
@@ -211,7 +215,7 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
         sinks = []
         for o in out_paths:
             if isinstance(o, (str, bytes)):
-                f = open(o, "wb")
+                f = open_fastq_sink(o)
                 opened.append(f)
                 sinks.append(f)
             else:

