@@ -119,7 +119,7 @@ def cmd_recalibrate(args) -> int:
             stats = recalibrate_bam_multihost(
                 args.input[0], out, cfg, use_oq=args.use_oq,
                 set_oq=args.set_oq, chunk_records=args.chunk_reads,
-                info=info)
+                info=info, checkpoint_dir=args.checkpoint_dir)
             dt = time.time() - t0
             print(f"[kbbq-tpu] host {stats['process_id']}/"
                   f"{stats['num_processes']}: wrote "
@@ -140,7 +140,8 @@ def cmd_recalibrate(args) -> int:
         t0 = time.time()
         stats = recalibrate_fastq_multihost(
             args.input, args.output, cfg, interleaved=args.interleaved,
-            chunk_reads=args.chunk_reads, info=info)
+            chunk_reads=args.chunk_reads, info=info,
+            checkpoint_dir=args.checkpoint_dir)
         dt = time.time() - t0
         print(f"[kbbq-tpu] host {stats['process_id']}/"
               f"{stats['num_processes']}: wrote "

@@ -321,7 +321,8 @@ def host_steps_per_pass(read_counts_by_host, local_batch: int) -> int:
 def recalibrate_fastq_multihost(in_paths, out_paths, config,
                                 interleaved: bool = False,
                                 chunk_reads: int | None = None,
-                                info: dict | None = None) -> dict:
+                                info: dict | None = None,
+                                checkpoint_dir: str | None = None) -> dict:
     """Streaming multi-host data-parallel recalibration (config 5).
 
     Every process calls this with the SAME arguments (shared filesystem);
@@ -331,6 +332,13 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
     per-input output paths (a single concatenated sink is impossible
     across hosts).  Output bytes are identical to the single-host
     pipeline (ordinal-keyed sampling + integer-commutative merges).
+
+    checkpoint_dir (shared filesystem): pass-boundary checkpoints —
+    merged Bloom rows and covariate totals are replicated, so process 0
+    saves the shared artifacts once and every restarted process reloads
+    them; pass-4 progress is per-host (host{pid}.json) with file/chunk/
+    byte offsets, so a host failure reruns only from the last saved
+    pass instead of the whole job (SURVEY.md §6 failure/recovery row).
     """
     from ..io.stream import (DEFAULT_CHUNK_READS, StreamingBatches,
                              chunk_to_batch_arrays, iter_fastq_chunks,
@@ -375,26 +383,56 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
         return _padded_stream(iter(src), steps, local_batch,
                               scan.max_len)
 
-    pipe.run_pass1(mk())
-    pipe.run_pass2(mk())
-    pipe.run_pass3(mk())
-    pipe.compute_recal_table()
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, stream_fingerprint
+        ckpt = Checkpoint(checkpoint_dir)
+        fp = stream_fingerprint(config, in_paths, scan)
+        fp["num_processes"] = H     # resume requires the same topology
+        ckpt.check_fingerprint(fp)
 
-    # pass 4: local, per owned file (.gz sinks BGZF-compress)
-    from ..io.fastq import open_fastq_sink
+    _run_multihost_passes(pipe, mk, ckpt, pid)
+
+    # pass 4: local, per owned file (.gz sinks BGZF-compress); with a
+    # checkpoint, per-host file/chunk/byte offsets resume mid-file on
+    # plain sinks (a .gz sink restarts its file — compressed streams
+    # are not seek-resumable)
+    from ..io.fastq import is_gz_path, open_fastq_sink
     from contextlib import closing
 
+    hm = ckpt.load_host_meta(pid) if ckpt else {}
+    files_done = int(hm.get("files_done", 0))
+    done_chunks = int(hm.get("chunks", 0))
+    done_bytes = int(hm.get("bytes", 0))
+
     written = 0
-    for (path, start), rg in zip(shard.paths, shard.rg_ids):
+    for fi, ((path, start), rg) in enumerate(
+            zip(shard.paths, shard.rg_ids)):
+        if fi < files_done:
+            written += shard.read_counts[fi]
+            continue
         out = out_paths[rg]
-        with closing(open_fastq_sink(out)) as sink:
+        resume_here = (ckpt is not None and fi == files_done
+                       and done_chunks > 0 and not is_gz_path(out))
+        if resume_here:
+            sink_f = open(out, "r+b")
+            sink_f.truncate(done_bytes)
+            sink_f.seek(done_bytes)
+        else:
+            sink_f = open_fastq_sink(out)
+            done_chunks = 0
+        with closing(sink_f) as sink:
             ordinal = start
             def chunks():
                 nonlocal ordinal
                 for fq in iter_fastq_chunks(path, chunk):
                     yield fq, ordinal
                     ordinal += fq.num_reads
-            for fq, o in prefetch_iter(chunks(), depth=2):
+            for ci, (fq, o) in enumerate(prefetch_iter(chunks(),
+                                                       depth=2)):
+                if ci < done_chunks:
+                    written += fq.num_reads
+                    continue
                 arrs = chunk_to_batch_arrays(fq, scan.max_len, rg, o,
                                              interleaved)
                 rows = []
@@ -404,6 +442,15 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
                 nq = np.concatenate(rows, axis=0)
                 write_fastq_with_quals(fq, nq, arrs[2], sink)
                 written += fq.num_reads
+                if ckpt and not is_gz_path(out):
+                    sink.flush()
+                    ckpt.save_host_meta(pid, {
+                        "files_done": fi, "chunks": ci + 1,
+                        "bytes": sink.tell()})
+        done_chunks = 0
+        if ckpt:
+            ckpt.save_host_meta(pid, {"files_done": fi + 1,
+                                      "chunks": 0, "bytes": 0})
 
     return {"num_reads": scan.num_reads,
             "total_bases": scan.total_bases,
@@ -515,10 +562,63 @@ class _BamHostBatches:
                                       self.max_len)
 
 
+def _maybe_crash(point: str, pid: int, state=None) -> None:
+    """Failure injection for recovery tests: KBBQ_CRASH_POINT=
+    '<point>:<pid>' hard-kills that process at the named point (the
+    recovery story SURVEY.md §6 requires must be TESTED by killing a
+    real process, not simulated).  `state` is blocked on first so the
+    dying host has finished its share of the previous pass's collectives
+    — the scenario under test is "host dies between passes", not "dies
+    mid-collective" (which correctly loses the un-checkpointed pass)."""
+    import os
+    if os.environ.get("KBBQ_CRASH_POINT") == f"{point}:{pid}":
+        if state is not None:
+            jax.block_until_ready(state)
+        os._exit(41)
+
+
+def _run_multihost_passes(pipe, mk, ckpt, pid: int) -> None:
+    """Passes 1-3 with pass-boundary checkpoint skip/save (SURVEY.md §6).
+
+    The saved artifacts (merged packed Bloom rows, covariate totals) are
+    REPLICATED — bit-identical on every host — so process 0 writes them
+    once to the shared checkpoint dir and every restarted process
+    reloads the same bytes; skip decisions are therefore consistent
+    across hosts and the collectives stay in step."""
+    rows = ckpt.load_array("mh_rows_a") if ckpt else None
+    if rows is not None:
+        pipe.bloom_a_merged = pipe._replicate(rows)
+    else:
+        pipe.run_pass1(mk())
+        if ckpt and pid == 0:
+            ckpt.save_array("mh_rows_a", np.asarray(pipe.bloom_a_merged))
+    _maybe_crash("pass2", pid, pipe.bloom_a_merged)  # "mid-pass-2":
+    # after the pass-1 checkpoint exists, before pass 2 completes
+
+    rows = ckpt.load_array("mh_rows_b") if ckpt else None
+    if rows is not None:
+        pipe.bloom_b_merged = pipe._replicate(rows)
+    else:
+        pipe.run_pass2(mk())
+        if ckpt and pid == 0:
+            ckpt.save_array("mh_rows_b", np.asarray(pipe.bloom_b_merged))
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        pipe.cov.totals = loaded
+    else:
+        pipe.run_pass3(mk())
+        if ckpt and pid == 0:
+            ckpt.save_covariates(pipe.cov.totals)
+
+    pipe.compute_recal_table()
+
+
 def recalibrate_bam_multihost(in_path: str, out_path: str, config,
                               use_oq: bool = False, set_oq: bool = False,
                               chunk_records: int | None = None,
-                              info: dict | None = None) -> dict:
+                              info: dict | None = None,
+                              checkpoint_dir: str | None = None) -> dict:
     """Streaming multi-host BAM recalibration.
 
     Every process runs this with the same arguments; each host scans
@@ -562,12 +662,25 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
                               members, total_u)
         return _padded_stream(iter(src), steps, local_batch, max_len)
 
-    pipe.run_pass1(mk())
-    pipe.run_pass2(mk())
-    pipe.run_pass3(mk())
-    pipe.compute_recal_table()
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, effective_ext_cap
+        ckpt = Checkpoint(checkpoint_dir)
+        fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
+              "genome_length": config.genome_length,
+              "num_hashes": config.num_hashes,
+              "trust_threshold": config.trust_threshold,
+              "ext_cap": effective_ext_cap(config), "use_oq": use_oq,
+              "num_reads": n, "total_bases": bases, "bam": True,
+              "num_processes": H}
+        ckpt.check_fingerprint(fp)
 
-    # pass 4: rewrite own chunk range into this host's part file
+    _run_multihost_passes(pipe, mk, ckpt, pid)
+
+    # pass 4: rewrite own chunk range into this host's part file (a
+    # resumed run rewrites the whole part — BGZF parts are not
+    # byte-offset resumable mid-stream; the expensive passes 1-3 are
+    # what the checkpoints skip)
     from ..io.bam_vec import decode_machine_chunk
     part = f"{out_path}.part-{pid:04d}-of-{H:04d}"
     writer = BamStreamWriter(part, header_text, refs,

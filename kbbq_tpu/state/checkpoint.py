@@ -131,6 +131,27 @@ class Checkpoint:
             meta["fingerprint"] = fp
             self.save_meta(meta)
 
+    # ------------------------------------------------------- multi-host
+    # Per-host sidecar files: each process owns host{pid}.json outright
+    # (atomic rename), so hosts never race on the shared meta.json for
+    # their pass-4 progress (SURVEY.md §6; round-4 VERDICT missing #5).
+    def _host_path(self, pid: int):
+        return os.path.join(self.path, f"host{pid}.json")
+
+    def load_host_meta(self, pid: int) -> dict:
+        try:
+            with open(self._host_path(pid)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def save_host_meta(self, pid: int, d: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._host_path(pid) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, self._host_path(pid))
+
     # ------------------------------------------------------------ passes
     def save_bloom(self, name: str, state: BloomState) -> None:
         os.makedirs(self.path, exist_ok=True)

@@ -218,3 +218,128 @@ def test_two_process_cli_bam_matches_single_host(tmp_path):
     want2 = read_bam(want_path)
     for a, b in zip(want.records, want2.records):
         assert bytes(a.data) == bytes(b.data)
+
+
+def _mh_env(pid, coord, extra=None):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["KBBQ_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", "")
+        + " --xla_force_host_platform_device_count=4").strip()
+    env["JAX_COORDINATOR"] = coord
+    env["JAX_NUM_PROCESSES"] = "2"
+    env["JAX_PROCESS_ID"] = str(pid)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    if extra:
+        env.update(extra)
+    return env
+
+
+def _launch2(cmd, coord, extra_env=None):
+    return [subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                             stderr=subprocess.PIPE,
+                             env=_mh_env(pid, coord, extra_env))
+            for pid in range(2)]
+
+
+def test_two_process_checkpoint_resume_after_kill_fastq(tmp_path):
+    """Multi-host failure/recovery (round-4 VERDICT missing #5): host 1
+    is hard-killed mid-pass-2 (after the pass-1 checkpoint), the whole
+    job restarts, resumes from the saved pass, and the output is
+    byte-identical to the single-host run — with pass 1 NOT recomputed."""
+    import time
+
+    d = str(tmp_path)
+    paths = _write_inputs(d)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want = [os.path.join(d, f"want{i}.fq") for i in range(3)]
+    recalibrate_fastq(paths, want, cfg)
+
+    outs_p = [os.path.join(d, f"out{i}.fq") for i in range(3)]
+    ck = os.path.join(d, "ck")
+    cmd = [sys.executable, "-m", "kbbq_tpu", "recalibrate", *paths,
+           "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--multihost", "--checkpoint-dir", ck]
+    for o in outs_p:
+        cmd += ["-o", o]
+
+    # run 1: host 1 dies right after the pass-1 checkpoint lands
+    procs = _launch2(cmd, "127.0.0.1:29541",
+                     {"KBBQ_CRASH_POINT": "pass2:1"})
+    assert procs[1].wait(timeout=900) == 41        # injected crash
+    # host 0 is now stuck in a pass-2 collective against a dead peer;
+    # wait for its pass-1 checkpoint to land, then the "scheduler"
+    # kills it (the real failure model: restart all processes)
+    rows_a = os.path.join(ck, "mh_rows_a.npy")
+    deadline = time.time() + 120
+    while not os.path.exists(rows_a) and time.time() < deadline:
+        time.sleep(0.2)
+    procs[0].kill()
+    procs[0].communicate()
+    assert os.path.exists(rows_a), "pass-1 checkpoint missing"
+    mtime = os.path.getmtime(rows_a)
+
+    # run 2: full restart, fresh coordinator port
+    procs = _launch2(cmd, "127.0.0.1:29542")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    for i in range(3):
+        assert open(outs_p[i], "rb").read() == \
+            open(want[i], "rb").read(), f"file {i} differs"
+    assert os.path.getmtime(rows_a) == mtime, \
+        "pass 1 was recomputed despite the checkpoint"
+
+
+def test_two_process_checkpoint_resume_after_kill_bam(tmp_path):
+    """The BAM twin of the kill/restart recovery test."""
+    import time
+
+    from kbbq_tpu.io.bam import read_bam
+    from kbbq_tpu.pipeline.bam import recalibrate_bam_streaming
+
+    d = str(tmp_path)
+    bam = os.path.join(d, "in.bam")
+    _write_test_bam(bam)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want_path = os.path.join(d, "want.bam")
+    recalibrate_bam_streaming(bam, want_path, cfg, chunk_records=150)
+
+    out = os.path.join(d, "out.bam")
+    ck = os.path.join(d, "ck")
+    cmd = [sys.executable, "-m", "kbbq_tpu", "recalibrate", bam,
+           "-o", out, "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--chunk-reads", "150", "--multihost",
+           "--checkpoint-dir", ck]
+
+    procs = _launch2(cmd, "127.0.0.1:29543",
+                     {"KBBQ_CRASH_POINT": "pass2:1"})
+    assert procs[1].wait(timeout=900) == 41
+    rows_a = os.path.join(ck, "mh_rows_a.npy")
+    deadline = time.time() + 120
+    while not os.path.exists(rows_a) and time.time() < deadline:
+        time.sleep(0.2)
+    procs[0].kill()
+    procs[0].communicate()
+    assert os.path.exists(rows_a)
+    mtime = os.path.getmtime(rows_a)
+
+    procs = _launch2(cmd, "127.0.0.1:29544")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    parts = sorted(
+        p for p in os.listdir(d) if p.startswith("out.bam.part-"))
+    assert len(parts) == 2
+    with open(out, "wb") as f:
+        for p in parts:
+            f.write(open(os.path.join(d, p), "rb").read())
+    got, wantb = read_bam(out), read_bam(want_path)
+    assert len(got.records) == len(wantb.records)
+    for a, b in zip(wantb.records, got.records):
+        assert bytes(a.data) == bytes(b.data), a.name
+    assert os.path.getmtime(rows_a) == mtime
