@@ -104,10 +104,36 @@ def cmd_recalibrate(args) -> int:
         # workload: every pod process runs this same command and the
         # streaming driver shards the input files across hosts
         # (parallel/multihost.py; round-2 VERDICT missing #1)
-        if args.input[0].endswith((".sam", ".cram")):
+        if args.input[0].endswith(".sam"):
             raise SystemExit(
-                "multi-host mode supports FASTQ and BAM inputs; convert "
-                "SAM/CRAM to BAM first")
+                "multi-host mode supports FASTQ, BAM and CRAM inputs; "
+                "convert SAM to BAM first")
+        if args.input[0].endswith(".cram"):
+            if len(args.input) != 1:
+                raise SystemExit("multi-host CRAM mode takes one input")
+            if args.set_oq:
+                raise SystemExit(
+                    "--set-oq with multi-host CRAM is unsupported (it "
+                    "changes tag streams; use the whole-file path)")
+            out = (args.output or ["out.cram"])[0]
+            from ..parallel.multihost import init_multihost, \
+                recalibrate_cram_multihost
+            info = init_multihost()
+            t0 = time.time()
+            stats = recalibrate_cram_multihost(
+                args.input[0], out, cfg, use_oq=args.use_oq,
+                fasta_ref=args.fasta_ref, info=info,
+                checkpoint_dir=args.checkpoint_dir)
+            dt = time.time() - t0
+            print(f"[kbbq-tpu] host {stats['process_id']}/"
+                  f"{stats['num_processes']}: wrote "
+                  f"{stats['host_reads_written']} of "
+                  f"{stats['num_reads']} reads -> {stats['part']} "
+                  f"in {dt:.2f}s; `cat {out}.part-* > {out}`",
+                  file=sys.stderr)
+            import json
+            print(json.dumps(stats))
+            return 0
         if args.input[0].endswith(".bam"):
             if len(args.input) != 1:
                 raise SystemExit("multi-host BAM mode takes one input")

@@ -112,12 +112,21 @@ class CramStreamWriter:
     containers appended as chunks arrive, EOF container on close —
     the streaming sink twin of write_cram (O(container) memory)."""
 
-    def __init__(self, path, header_text: str, ref_names=None):
+    def __init__(self, path, header_text: str, ref_names=None,
+                 write_header: bool = True, write_eof: bool = True):
+        """write_header/write_eof=False produce a HEADERLESS /
+        unterminated CRAM shard — multi-host pass 4 writes one part per
+        host and `cat part-*` yields one valid CRAM (host 0 carries the
+        file definition + header container, the last host the EOF
+        container), mirroring io/bam_stream.py::BamStreamWriter."""
         self.f = open(path, "wb") if isinstance(path, (str, bytes)) \
             else path
         self._own = isinstance(path, (str, bytes))
         self.ref_names = list(ref_names or [])
         self.counter = 0
+        self._write_eof = write_eof
+        if not write_header:
+            return
         self.f.write(b"CRAM" + bytes([3, 0]) + bytes(20))
         htext = header_text.encode()
         hblock = _block(0, 0, 0, struct.pack("<i", len(htext)) + htext)
@@ -138,7 +147,8 @@ class CramStreamWriter:
         self.f.write(raw)
 
     def close(self):
-        self.f.write(_EOF_CONTAINER)
+        if self._write_eof:
+            self.f.write(_EOF_CONTAINER)
         if self._own:
             self.f.close()
 

@@ -562,6 +562,184 @@ class _BamHostBatches:
                                       self.max_len)
 
 
+class _CramHostBatches:
+    """Re-iterable local batches over one host's contiguous CONTAINER
+    range (global primary ordinals) — the CRAM twin of _BamHostBatches;
+    containers are the shardable unit the round-4 VERDICT named (the
+    streamer's scan already yields their record counts)."""
+
+    def __init__(self, path, fasta_ref, metas, lo, hi, registry,
+                 rg_names, max_len, local_batch, use_oq):
+        self.path = path
+        self.metas = metas
+        self.lo, self.hi = lo, hi
+        self.registry = registry
+        self.rg_names = rg_names
+        self.max_len = max_len
+        self.local_batch = local_batch
+        self.use_oq = use_oq
+        self.refs = None
+        if fasta_ref:
+            from ..benchmark import read_fasta
+            self.refs = read_fasta(fasta_ref)
+        lut = np.zeros(len(rg_names) + 1, np.int32)
+        lut[0] = registry.get("", 0)
+        for i, nm in enumerate(rg_names):
+            lut[i + 1] = registry.get(nm, 0)
+        self.rg_lut = lut
+
+    def containers(self):
+        """(container_index, cont, blocks, raw) over [lo, hi)."""
+        from ..io.cram import CramStream
+        if self.lo >= self.hi:
+            return
+        with CramStream(self.path) as cs:
+            self._ref_names = cs.ref_names
+            for ci, (cont, blocks, raw) in enumerate(cs.containers()):
+                if ci >= self.hi:
+                    break
+                if ci < self.lo:
+                    continue
+                yield ci, cont, blocks, raw
+
+    def decoded_containers(self):
+        """(ci, cont, blocks, raw, slices) per owned container."""
+        from ..io.cram import parse_compression_header
+        from ..pipeline.cram_stream import _decode_container
+        for ci, cont, blocks, raw in self.containers():
+            comp = parse_compression_header(blocks[0].data)
+            slices = _decode_container(
+                comp, blocks, cont, self.refs, self._ref_names,
+                self.rg_names, self.max_len, self.rg_lut,
+                self.registry, self.use_oq)
+            yield ci, cont, blocks, raw, slices
+
+    def __iter__(self):
+        from ..io.stream import _slice_batches, prefetch_iter
+        from ..pipeline.cram_stream import _slow_arrays
+
+        def decoded():
+            for ci, cont, blocks, raw, slices in \
+                    self.decoded_containers():
+                ordinal = self.metas[ci]["ordinal"]
+                for kind, payload, _ in slices:
+                    if kind == "fast":
+                        codes, quals, mask, rgs, seconds, lens, prim, \
+                            _n = payload
+                    else:
+                        codes, quals, mask, rgs, seconds, lens, prim = \
+                            _slow_arrays(payload, self.max_len,
+                                         self.registry, self.rg_names,
+                                         self.use_oq)
+                    if prim.size:
+                        ids = np.arange(ordinal, ordinal + prim.size,
+                                        dtype=np.uint32)
+                        yield codes, quals, mask, rgs, seconds, ids
+                    ordinal += prim.size
+
+        for arrs in prefetch_iter(decoded(), depth=2):
+            yield from _slice_batches(arrs, self.local_batch,
+                                      self.max_len)
+
+
+def recalibrate_cram_multihost(in_path: str, out_path: str, config,
+                               use_oq: bool = False,
+                               fasta_ref: str | None = None,
+                               info: dict | None = None,
+                               checkpoint_dir: str | None = None) -> dict:
+    """Streaming multi-host CRAM recalibration (SURVEY.md C6/C7).
+
+    Every process runs this with the same arguments; each host scans
+    the container metadata deterministically, takes a contiguous
+    container range, and writes `{out}.part-XXXX-of-YYYY` — host 0's
+    part carries the CRAM file definition + header container, the last
+    host's the EOF container, so `cat out.part-* > out.cram` is a valid
+    single CRAM.  Fast-profile containers are rewritten by the pass-4
+    QS-block surgery (every non-QS byte verbatim), so the concatenation
+    is byte-identical to the single-host streaming output; fallback
+    containers re-encode through write_cram's profile."""
+    from ..io.cram_write import CramStreamWriter, rewrite_container_quals
+    from ..io.stream import prefetch_iter
+    from ..pipeline.cram_stream import (
+        container_new_qs,
+        rewrite_fallback_container,
+        scan_cram_meta,
+    )
+    from .mesh import make_mesh
+
+    info = info or init_multihost()
+    H, pid = info["num_processes"], info["process_id"]
+    k = config.k
+    mesh = make_mesh()
+
+    metas, n, bases, tk, max_len, registry, rg_names, header_text = \
+        scan_cram_meta(in_path, k, fasta_ref, use_oq)
+    ranges = partition_bam_chunks(metas, H)   # generic over n_primary
+    lo, hi = ranges[pid]
+
+    local_batch = config.batch_size // H
+    steps = max(
+        (sum((m["n_primary"] + local_batch - 1) // local_batch
+             for m in metas[a:b] if m["n_primary"])
+         for a, b in ranges), default=0)
+
+    pipe = MultihostRecalPipeline(
+        config, max(1, len(registry)), max_len, bases, tk, mesh, H, pid)
+
+    def mk():
+        src = _CramHostBatches(in_path, fasta_ref, metas, lo, hi,
+                               registry, rg_names, max_len, local_batch,
+                               use_oq)
+        return _padded_stream(iter(src), steps, local_batch, max_len)
+
+    ckpt = None
+    if checkpoint_dir:
+        from ..state.checkpoint import Checkpoint, effective_ext_cap
+        ckpt = Checkpoint(checkpoint_dir)
+        fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
+              "genome_length": config.genome_length,
+              "num_hashes": config.num_hashes,
+              "trust_threshold": config.trust_threshold,
+              "ext_cap": effective_ext_cap(config), "use_oq": use_oq,
+              "num_reads": n, "total_bases": bases, "cram": True,
+              "num_processes": H}
+        ckpt.check_fingerprint(fp)
+
+    _run_multihost_passes(pipe, mk, ckpt, pid)
+    recal = pipe.recal_table
+
+    # pass 4: rewrite own container range into this host's part file
+    # (a resumed run rewrites the whole part, like BAM)
+    part = f"{out_path}.part-{pid:04d}-of-{H:04d}"
+    writer = CramStreamWriter(part, header_text, rg_names,
+                              write_header=(pid == 0),
+                              write_eof=(pid == H - 1))
+    written = 0
+    src = _CramHostBatches(in_path, fasta_ref, metas, lo, hi, registry,
+                           rg_names, max_len, local_batch, use_oq)
+    try:
+        for ci, cont, blocks, raw, slices in prefetch_iter(
+                src.decoded_containers(), depth=2):
+            if all(kind == "fast" for kind, _, _ in slices):
+                qs_new = container_new_qs(slices, blocks, recal, max_len)
+                writer.write_raw(
+                    rewrite_container_quals(cont, blocks, raw, qs_new))
+            else:
+                recs_all = rewrite_fallback_container(
+                    slices, recal, max_len, registry, rg_names, use_oq)
+                writer.write_records(recs_all)
+            written += metas[ci]["n_primary"]
+    finally:
+        writer.close()
+
+    return {"num_reads": n, "total_bases": bases,
+            "read_groups": max(1, len(registry)),
+            "host_reads_written": written,
+            "part": part,
+            "process_id": pid, "num_processes": H,
+            "devices": mesh.devices.size}
+
+
 def _maybe_crash(point: str, pid: int, state=None) -> None:
     """Failure injection for recovery tests: KBBQ_CRASH_POINT=
     '<point>:<pid>' hard-kills that process at the named point (the

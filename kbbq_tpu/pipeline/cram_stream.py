@@ -88,12 +88,16 @@ def _slow_arrays(recs, max_len, registry, rg_names, use_oq):
         np.asarray(prim, np.int64)
 
 
-def scan_cram(path: str, k: int, fasta_ref: str | None,
-              use_oq: bool = False):
-    """Streaming metadata pass: (num_primary, total_bases, total_kmers,
-    max_len, registry, rg_names, header_text) — registry is RG-name ->
-    dense id in first-appearance order over primary records, matching
-    the whole-file path (pipeline/bam.py::bam_read_group_ids)."""
+def scan_cram_meta(path: str, k: int, fasta_ref: str | None,
+                   use_oq: bool = False):
+    """Per-container streaming metadata pass: (metas, num_primary,
+    total_bases, total_kmers, max_len, registry, rg_names, header_text).
+    metas[i] = {"n_records", "n_primary", "ordinal"} for DATA container
+    i (ordinal = global primary ordinal of its first primary record) —
+    the shardable unit multi-host CRAM partitions on.  registry is
+    RG-name -> dense id in first-appearance order over primary records,
+    matching the whole-file path (pipeline/bam.py::bam_read_group_ids)."""
+    from ..io.cram import parse_slice_header
     from ..io.cram_vec import scan_slice_vec
 
     refs = None
@@ -103,10 +107,13 @@ def scan_cram(path: str, k: int, fasta_ref: str | None,
     n = bases = tk = 0
     max_len = 1
     registry: dict[str, int] = {}
+    metas: list[dict] = []
     with CramStream(path) as cs:
         rg_names = cs.rg_names
         for cont, blocks, _ in cs.containers():
             comp = parse_compression_header(blocks[0].data)
+            c_prim = c_rec = 0
+            ordinal0 = n
             for group in split_slices(blocks):
                 light = scan_slice_vec(comp, group)
                 if light is not None:
@@ -114,6 +121,7 @@ def scan_cram(path: str, k: int, fasta_ref: str | None,
                     pm = ((bf & 0x900) == 0) & (rl > 0)
                     pl = rl[pm]
                     prg = rg[pm]
+                    c_rec += bf.size
                 else:
                     from ..io.cram import decode_slice
                     recs = decode_slice(comp, group, cont.ref_id, refs,
@@ -125,7 +133,9 @@ def scan_cram(path: str, k: int, fasta_ref: str | None,
                     prg = np.asarray(
                         [getattr(r, "_cram_rg", -1) for r in pm_list],
                         np.int64)
+                    c_rec += len(recs)
                 n += pl.size
+                c_prim += pl.size
                 bases += int(pl.sum())
                 tk += int(np.maximum(pl - k + 1, 0).sum())
                 if pl.size:
@@ -136,9 +146,20 @@ def scan_cram(path: str, k: int, fasta_ref: str | None,
                         key = _rg_key(rg_names, int(rgv))
                         if key not in registry:
                             registry[key] = len(registry)
+            metas.append({"n_records": c_rec, "n_primary": c_prim,
+                          "ordinal": ordinal0})
         if not registry:
             registry[""] = 0
-        return n, bases, tk, max_len, registry, rg_names, cs.header_text
+        return (metas, n, bases, tk, max_len, registry, rg_names,
+                cs.header_text)
+
+
+def scan_cram(path: str, k: int, fasta_ref: str | None,
+              use_oq: bool = False):
+    """Whole-file metadata: (num_primary, total_bases, total_kmers,
+    max_len, registry, rg_names, header_text) — scan_cram_meta minus
+    the per-container rows."""
+    return scan_cram_meta(path, k, fasta_ref, use_oq)[1:]
 
 
 class CramWindowSource:
@@ -215,6 +236,78 @@ class CramWindowSource:
     def chunks(self):
         from .stream_resident import rebuffer_windows
         yield from rebuffer_windows(self._decoded(), self.window_reads)
+
+
+def container_new_qs(slices, blocks, recal, max_len: int):
+    """Recalibrated QS streams for one fast-path container: per slice,
+    (qs_cid, new_qs_bytes) or None — the input rewrite_container_quals
+    expects.  Original QS bytes are kept wherever a record's span is
+    not rewritten (non-primary, CF&1 unset)."""
+    from ..ops.recal import apply_recal_table_host
+
+    qs_new = []
+    for _, payload, squals in slices:
+        codes, quals, mask, rgs, seconds, lens, prim, _n = payload
+        if prim.size == 0 or squals.qs_len == 0 \
+                or not squals.lens.any():
+            qs_new.append(None)
+            continue
+        nq = apply_recal_table_host(recal, codes, quals, mask, rgs,
+                                    seconds)
+        # rebuild the slice's QS stream: original bytes with each
+        # primary's span overwritten (re-flipped to stored orientation
+        # for reverse-strand reads)
+        qs_block = next(b for b in blocks
+                        if b.content_id == squals.qs_cid
+                        and b.content_type == 4)
+        qs_arr = np.frombuffer(qs_block.data, np.uint8).copy()
+        wl = squals.lens          # 0 where CF&1 unset
+        rows_i = np.arange(prim.size, dtype=np.int64)
+        vals = np.zeros((prim.size, max_len), np.uint8)
+        fwd = nq.astype(np.uint8)
+        for Lg in np.unique(lens):
+            sel = np.flatnonzero(lens == Lg)
+            Lg = int(Lg)
+            v = fwd[sel, :Lg]
+            r = squals.rev[sel]
+            v = v.copy()
+            v[r] = v[r, ::-1]
+            vals[sel, :Lg] = v
+        flat_src = _ragged_flat_index(
+            rows_i, np.zeros(prim.size, np.int64), wl, max_len)
+        flat_dst = _ragged_flat_index(
+            np.zeros(prim.size, np.int64), squals.offs, wl, 0)
+        qs_arr[flat_dst] = vals.reshape(-1)[flat_src]
+        qs_new.append((squals.qs_cid, qs_arr.tobytes()))
+    return qs_new
+
+
+def rewrite_fallback_container(slices, recal, max_len: int, registry,
+                               rg_names, use_oq: bool):
+    """Fallback (per-record) containers: recalibrate quals in place on
+    the BamRecord list and return the records for re-encoding."""
+    from ..io.bam import rewrite_quals
+    from ..ops.recal import apply_recal_table_host
+
+    recs_all = []
+    for kind, payload, _ in slices:
+        if kind != "slow":
+            raise RuntimeError(
+                "mixed fast/slow slices in one container "
+                "are re-encoded whole")
+        recs_all.extend(payload)
+    arr = _slow_arrays(recs_all, max_len, registry, rg_names, use_oq)
+    codes, quals, mask, rgs, seconds, lens, prim = arr
+    if prim.size:
+        nq = apply_recal_table_host(recal, codes, quals, mask, rgs,
+                                    seconds)
+        for j, i in enumerate(prim):
+            rewrite_quals(recs_all[int(i)], nq[j][:int(lens[j])],
+                          set_oq=False)
+    for rec in recs_all:
+        if not hasattr(rec, "_rg_index"):
+            rec._rg_index = getattr(rec, "_cram_rg", -1)
+    return recs_all
 
 
 def recalibrate_cram_stream_resident(
@@ -333,44 +426,7 @@ def recalibrate_cram_stream_resident(
         for cont, blocks, raw, slices in prefetch_iter(
                 src.containers_decoded(), depth=2):
             if all(kind == "fast" for kind, _, _ in slices):
-                qs_new = []
-                for _, payload, squals in slices:
-                    codes, quals, mask, rgs, seconds, lens, prim, _n = \
-                        payload
-                    if prim.size == 0 or squals.qs_len == 0 \
-                            or not squals.lens.any():
-                        qs_new.append(None)
-                        continue
-                    nq = apply_recal_table_host(recal, codes, quals,
-                                                mask, rgs, seconds)
-                    # rebuild the slice's QS stream: original bytes
-                    # with each primary's span overwritten (re-flipped
-                    # to stored orientation for reverse-strand reads)
-                    qs_block = next(b for b in blocks
-                                    if b.content_id == squals.qs_cid
-                                    and b.content_type == 4)
-                    qs_arr = np.frombuffer(
-                        qs_block.data, np.uint8).copy()
-                    wl = squals.lens          # 0 where CF&1 unset
-                    rows_i = np.arange(prim.size, dtype=np.int64)
-                    vals = np.zeros((prim.size, max_len), np.uint8)
-                    fwd = nq.astype(np.uint8)
-                    for Lg in np.unique(lens):
-                        sel = np.flatnonzero(lens == Lg)
-                        Lg = int(Lg)
-                        v = fwd[sel, :Lg]
-                        r = squals.rev[sel]
-                        v = v.copy()
-                        v[r] = v[r, ::-1]
-                        vals[sel, :Lg] = v
-                    flat_src = _ragged_flat_index(
-                        rows_i, np.zeros(prim.size, np.int64), wl,
-                        max_len)
-                    flat_dst = _ragged_flat_index(
-                        np.zeros(prim.size, np.int64), squals.offs, wl,
-                        0)
-                    qs_arr[flat_dst] = vals.reshape(-1)[flat_src]
-                    qs_new.append((squals.qs_cid, qs_arr.tobytes()))
+                qs_new = container_new_qs(slices, blocks, recal, max_len)
                 pending.append(wex.submit(
                     lambda c, b, r, q: writer.write_raw(
                         rewrite_container_quals(c, b, r, q)),
@@ -378,26 +434,8 @@ def recalibrate_cram_stream_resident(
             else:
                 # fallback containers: rewrite record quals and
                 # re-encode (write_cram's profile)
-                recs_all = []
-                for kind, payload, _ in slices:
-                    if kind != "slow":
-                        raise RuntimeError(
-                            "mixed fast/slow slices in one container "
-                            "are re-encoded whole")
-                    recs_all.extend(payload)
-                arr = _slow_arrays(recs_all, max_len, registry,
-                                   rg_names, use_oq)
-                codes, quals, mask, rgs, seconds, lens, prim = arr
-                if prim.size:
-                    nq = apply_recal_table_host(recal, codes, quals,
-                                                mask, rgs, seconds)
-                    for j, i in enumerate(prim):
-                        rewrite_quals(recs_all[int(i)],
-                                      nq[j][:int(lens[j])],
-                                      set_oq=False)
-                for rec in recs_all:
-                    if not hasattr(rec, "_rg_index"):
-                        rec._rg_index = getattr(rec, "_cram_rg", -1)
+                recs_all = rewrite_fallback_container(
+                    slices, recal, max_len, registry, rg_names, use_oq)
                 pending.append(wex.submit(writer.write_records,
                                           recs_all))
     finally:
