@@ -123,7 +123,8 @@ def cmd_recalibrate(args) -> int:
             stats = recalibrate_cram_multihost(
                 args.input[0], out, cfg, use_oq=args.use_oq,
                 fasta_ref=args.fasta_ref, info=info,
-                checkpoint_dir=args.checkpoint_dir)
+                checkpoint_dir=args.checkpoint_dir,
+                bloom_layout=args.bloom_layout)
             dt = time.time() - t0
             print(f"[kbbq-tpu] host {stats['process_id']}/"
                   f"{stats['num_processes']}: wrote "
@@ -145,7 +146,8 @@ def cmd_recalibrate(args) -> int:
             stats = recalibrate_bam_multihost(
                 args.input[0], out, cfg, use_oq=args.use_oq,
                 set_oq=args.set_oq, chunk_records=args.chunk_reads,
-                info=info, checkpoint_dir=args.checkpoint_dir)
+                info=info, checkpoint_dir=args.checkpoint_dir,
+                bloom_layout=args.bloom_layout)
             dt = time.time() - t0
             print(f"[kbbq-tpu] host {stats['process_id']}/"
                   f"{stats['num_processes']}: wrote "
@@ -167,7 +169,8 @@ def cmd_recalibrate(args) -> int:
         stats = recalibrate_fastq_multihost(
             args.input, args.output, cfg, interleaved=args.interleaved,
             chunk_reads=args.chunk_reads, info=info,
-            checkpoint_dir=args.checkpoint_dir)
+            checkpoint_dir=args.checkpoint_dir,
+            bloom_layout=args.bloom_layout)
         dt = time.time() - t0
         print(f"[kbbq-tpu] host {stats['process_id']}/"
               f"{stats['num_processes']}: wrote "

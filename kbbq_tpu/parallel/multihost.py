@@ -284,6 +284,122 @@ class MultihostRecalPipeline:
     _recal_local = None
 
 
+class MultihostShardedBloomPipeline:
+    """Hash-space-sharded Bloom over a MULTI-PROCESS global mesh.
+
+    BASELINE config 5 at real WGS sizing: the packed filters shard
+    across ALL pod devices, so each host materializes only its devices'
+    words — per-host filter memory is O(m / num_hosts), not O(m).
+    Subclasses parallel/sharded_bloom.py's pipeline, replacing array
+    PLACEMENT only: every global array assembles from process-local
+    rows (jax.make_array_from_process_local_data), and host folds read
+    fully-replicated reductions instead of raw shards.  The shard_map
+    step programs are identical — their collectives are host-agnostic.
+    """
+
+    def __new__(cls, *a, **kw):
+        # late-bind the base class to keep module import light
+        from .sharded_bloom import ShardedBloomRecalPipeline
+
+        class _Impl(ShardedBloomRecalPipeline):
+            def __init__(self, config, num_rg, max_len, total_bases,
+                         total_kmers, mesh, num_processes, process_id):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                self.H = num_processes
+                self.pid = process_id
+                if config.batch_size % num_processes:
+                    raise ValueError(
+                        "global batch size must divide process count")
+                self.local_batch = config.batch_size // num_processes
+                self._NS, self._P = NamedSharding, P
+                super().__init__(config, num_rg, max_len, total_bases,
+                                 total_kmers, mesh)
+                import functools
+
+                @functools.partial(
+                    jax.jit, out_shardings=NamedSharding(mesh, P()))
+                def _sum_replicas(tree):
+                    return jax.tree.map(lambda v: v.sum(axis=0), tree)
+
+                self._sum_replicas = _sum_replicas
+
+            # ------------------------------------------- placement
+            def _replicate(self, x):
+                return jax.make_array_from_process_local_data(
+                    self._NS(self.mesh, self._P()), np.asarray(x))
+
+            def _shard_rows(self, x):
+                """x = THIS PROCESS's leading-axis share."""
+                x = np.asarray(x)
+                spec = self._P(self.mesh.axis_names[0],
+                               *([None] * (x.ndim - 1)))
+                return jax.make_array_from_process_local_data(
+                    self._NS(self.mesh, spec), x)
+
+            def _empty_rows(self, params):
+                d_local = self.D // self.H
+                local_words = (params.m // 32) // self.D * d_local
+                return self._shard_rows(
+                    np.zeros(local_words, np.uint32))
+
+            def _dev_tables(self):
+                from ..ops.covariate import new_covariate_state
+                base = new_covariate_state(self.num_rg, self.max_len)
+                d_local = self.D // self.H
+                return {kk: self._shard_rows(
+                    np.zeros((d_local,) + np.asarray(v).shape,
+                             np.asarray(v).dtype))
+                    for kk, v in base.items()}
+
+            def _fold_cov(self):
+                summed = self._sum_replicas(self.cov_dm)  # replicated
+                s = {kk: np.asarray(v).astype(np.int64)
+                     for kk, v in summed.items()}
+                self.cov.totals.cyc_total += s["cyc_total"]
+                self.cov.totals.cyc_errors += s["cyc_errors"]
+                self.cov.totals.din_total += s["din_total"]
+                self.cov.totals.din_errors += s["din_errors"]
+                self.cov_dm = self._dev_tables()
+
+            # pass 4 is a pure LOCAL gather (replicated host table) —
+            # same as MultihostRecalPipeline.apply_recal_local
+            _recal_local = None
+
+            def apply_recal_local(self, b):
+                import jax.numpy as jnp
+
+                from ..ops.recal import apply_recal_table
+                if self._recal_local is None:
+                    self._recal_local = jnp.asarray(self.recal_table)
+                return apply_recal_table(
+                    self._recal_local, jnp.asarray(b.codes),
+                    jnp.asarray(b.quals), jnp.asarray(b.mask),
+                    jnp.asarray(b.rgs), jnp.asarray(b.seconds))
+
+        return _Impl(*a, **kw)
+
+
+def _make_mh_pipeline(config, num_rg, max_len, total_bases, total_kmers,
+                      mesh, H, pid, bloom_layout: str):
+    """Multi-host pipeline for the requested Bloom placement;
+    'auto' shards once the filters outgrow the replicated budget."""
+    if bloom_layout == "auto":
+        from ..oracle.pipeline import bloom_params_for
+        from ..pipeline.recalibrate import REPLICATED_BLOOM_BUDGET
+        alpha, coverage = config.resolve_alpha(total_bases)
+        pa, pb = bloom_params_for(config, total_kmers, alpha, coverage)
+        bloom_layout = ("replicated"
+                        if pa.m + pb.m <= REPLICATED_BLOOM_BUDGET
+                        else "sharded")
+    if bloom_layout == "sharded":
+        return MultihostShardedBloomPipeline(
+            config, num_rg, max_len, total_bases, total_kmers, mesh,
+            H, pid), "sharded"
+    return MultihostRecalPipeline(
+        config, num_rg, max_len, total_bases, total_kmers, mesh,
+        H, pid), "replicated"
+
+
 def _empty_batch(batch_size: int, max_len: int):
     """All-pad Batch: contributes nothing to any pass (mask False,
     invalid codes, sentinel ordinals) — used to equalize the global
@@ -322,7 +438,8 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
                                 interleaved: bool = False,
                                 chunk_reads: int | None = None,
                                 info: dict | None = None,
-                                checkpoint_dir: str | None = None) -> dict:
+                                checkpoint_dir: str | None = None,
+                                bloom_layout: str = "auto") -> dict:
     """Streaming multi-host data-parallel recalibration (config 5).
 
     Every process calls this with the SAME arguments (shared filesystem);
@@ -369,9 +486,9 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
     steps = host_steps_per_pass(
         [s.read_counts for s in all_shards], local_batch)
 
-    pipe = MultihostRecalPipeline(
+    pipe, _kind = _make_mh_pipeline(
         config, len(in_paths), scan.max_len, scan.total_bases,
-        scan.total_kmers(k), mesh, H, pid)
+        scan.total_kmers(k), mesh, H, pid, bloom_layout)
 
     file_specs = [(p, rg, o) for (p, o), rg in
                   zip(shard.paths, shard.rg_ids)]
@@ -646,7 +763,8 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
                                use_oq: bool = False,
                                fasta_ref: str | None = None,
                                info: dict | None = None,
-                               checkpoint_dir: str | None = None) -> dict:
+                               checkpoint_dir: str | None = None,
+                               bloom_layout: str = "auto") -> dict:
     """Streaming multi-host CRAM recalibration (SURVEY.md C6/C7).
 
     Every process runs this with the same arguments; each host scans
@@ -683,8 +801,9 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
              for m in metas[a:b] if m["n_primary"])
          for a, b in ranges), default=0)
 
-    pipe = MultihostRecalPipeline(
-        config, max(1, len(registry)), max_len, bases, tk, mesh, H, pid)
+    pipe, _kind = _make_mh_pipeline(
+        config, max(1, len(registry)), max_len, bases, tk, mesh, H, pid,
+        bloom_layout)
 
     def mk():
         src = _CramHostBatches(in_path, fasta_ref, metas, lo, hi,
@@ -762,7 +881,25 @@ def _run_multihost_passes(pipe, mk, ckpt, pid: int) -> None:
     REPLICATED — bit-identical on every host — so process 0 writes them
     once to the shared checkpoint dir and every restarted process
     reloads the same bytes; skip decisions are therefore consistent
-    across hosts and the collectives stay in step."""
+    across hosts and the collectives stay in step.
+
+    The SHARDED layout's filters are NOT replicated, and per-host shard
+    checkpointing needs a completion-barrier protocol to keep skip
+    decisions consistent — so sharded + checkpoint is refused loudly,
+    and sharded runs go straight through the passes."""
+    if not isinstance(pipe, MultihostRecalPipeline):
+        if ckpt is not None:
+            raise ValueError(
+                "--checkpoint-dir with the multi-host SHARDED Bloom "
+                "layout is not supported yet; use the replicated "
+                "layout or run without checkpoints")
+        pipe.run_pass1(mk())
+        _maybe_crash("pass2", pid, pipe.packed_a)
+        pipe.run_pass2(mk())
+        pipe.run_pass3(mk())
+        pipe.compute_recal_table()
+        return
+
     rows = ckpt.load_array("mh_rows_a") if ckpt else None
     if rows is not None:
         pipe.bloom_a_merged = pipe._replicate(rows)
@@ -796,7 +933,8 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
                               use_oq: bool = False, set_oq: bool = False,
                               chunk_records: int | None = None,
                               info: dict | None = None,
-                              checkpoint_dir: str | None = None) -> dict:
+                              checkpoint_dir: str | None = None,
+                              bloom_layout: str = "auto") -> dict:
     """Streaming multi-host BAM recalibration.
 
     Every process runs this with the same arguments; each host scans
@@ -831,8 +969,9 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
              for m in metas[a:b] if m["n_primary"])
          for a, b in ranges), default=0)
 
-    pipe = MultihostRecalPipeline(
-        config, max(1, len(registry)), max_len, bases, tk, mesh, H, pid)
+    pipe, _kind = _make_mh_pipeline(
+        config, max(1, len(registry)), max_len, bases, tk, mesh, H, pid,
+        bloom_layout)
 
     def mk():
         src = _BamHostBatches(in_path, metas, lo, hi, registry, max_len,

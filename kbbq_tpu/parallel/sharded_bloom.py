@@ -381,6 +381,11 @@ class ShardedBloomRecalPipeline:
             self.cov_dm = self.steps["covariates"](
                 self.packed_b, self.cov_dm, codes, quals, mask, rgs,
                 seconds)
+        self._fold_cov()
+
+    def _fold_cov(self) -> None:
+        """Device epoch tables -> host int64 totals (single-process:
+        every shard is addressable, sum on the host)."""
         s = {kk: np.asarray(v).astype(np.int64).sum(axis=0)
              for kk, v in self.cov_dm.items()}
         self.cov.totals.cyc_total += s["cyc_total"]

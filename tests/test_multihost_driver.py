@@ -388,3 +388,29 @@ def test_two_process_cli_cram_matches_single_host(tmp_path):
     n_prim = len([r for r in bf.records
                   if not r.is_secondary_or_supp and r.l_seq > 0])
     assert sum(s["host_reads_written"] for s in stats) == n_prim
+
+
+def test_two_process_sharded_bloom_matches_single_chip(tmp_path):
+    """Multi-host with the hash-space SHARDED Bloom layout (BASELINE
+    config 5 at WGS sizing): 2 processes, filters sharded over the
+    8-device global mesh, output byte-identical to the single-chip
+    in-RAM pipeline."""
+    d = str(tmp_path)
+    paths = _write_inputs(d)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want = [os.path.join(d, f"want{i}.fq") for i in range(3)]
+    recalibrate_fastq(paths, want, cfg)
+
+    outs_p = [os.path.join(d, f"out{i}.fq") for i in range(3)]
+    cmd = [sys.executable, "-m", "kbbq_tpu", "recalibrate", *paths,
+           "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--multihost", "--bloom-layout", "sharded"]
+    for o in outs_p:
+        cmd += ["-o", o]
+    procs = _launch2(cmd, "127.0.0.1:29547")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+    for i in range(3):
+        assert open(outs_p[i], "rb").read() == \
+            open(want[i], "rb").read(), f"file {i} differs"
