@@ -506,6 +506,7 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
         ckpt = Checkpoint(checkpoint_dir)
         fp = stream_fingerprint(config, in_paths, scan)
         fp["num_processes"] = H     # resume requires the same topology
+        fp["bloom_layout"] = _kind  # shard artifacts differ per layout
         ckpt.check_fingerprint(fp)
 
     _run_multihost_passes(pipe, mk, ckpt, pid)
@@ -821,7 +822,7 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
               "trust_threshold": config.trust_threshold,
               "ext_cap": effective_ext_cap(config), "use_oq": use_oq,
               "num_reads": n, "total_bases": bases, "cram": True,
-              "num_processes": H}
+              "num_processes": H, "bloom_layout": _kind}
         ckpt.check_fingerprint(fp)
 
     _run_multihost_passes(pipe, mk, ckpt, pid)
@@ -874,6 +875,65 @@ def _maybe_crash(point: str, pid: int, state=None) -> None:
         os._exit(41)
 
 
+def _local_shard_rows(arr) -> np.ndarray:
+    """This process's contiguous leading-axis block of a row-sharded
+    global array (the inverse of make_array_from_process_local_data)."""
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def _run_sharded_mh_passes(pipe, mk, ckpt, pid: int) -> None:
+    """Sharded-layout passes 1-3 with per-host shard checkpoints.
+
+    Protocol per pass: every host writes {name}_host{pid}.npy
+    atomically -> sync_global_devices barrier -> process 0 marks the
+    pass in meta.json.  Skip decisions on restart read the marker, so
+    they are consistent across hosts by construction."""
+    from jax.experimental import multihost_utils
+
+    def barrier(tag):
+        multihost_utils.sync_global_devices(f"kbbq_ckpt_{tag}")
+
+    def run_or_load(name, run, get_state, set_state):
+        loaded = ckpt.load_host_array(pid, name) if ckpt else None
+        if loaded is not None:
+            set_state(loaded)
+            return
+        run()
+        if ckpt:
+            ckpt.save_host_array(pid, name, _local_shard_rows(
+                get_state()))
+            barrier(name)
+            if pid == 0:
+                ckpt.mark_pass(name)
+
+    run_or_load("mh_sh_rows_a", lambda: pipe.run_pass1(mk()),
+                lambda: pipe.packed_a,
+                lambda v: setattr(pipe, "packed_a",
+                                  pipe._shard_rows(v)))
+    _maybe_crash("pass2", pid, pipe.packed_a)
+    run_or_load("mh_sh_rows_b", lambda: pipe.run_pass2(mk()),
+                lambda: pipe.packed_b,
+                lambda v: setattr(pipe, "packed_b",
+                                  pipe._shard_rows(v)))
+
+    loaded = ckpt.load_covariates() if ckpt else None
+    if loaded is not None:
+        pipe.cov.totals = loaded
+    else:
+        pipe.run_pass3(mk())
+        if ckpt:
+            # totals are replicated host values — identical everywhere;
+            # pid 0 writes once (save_covariates marks atomically after
+            # its files land, and a barrier keeps laggards from racing
+            # past a crash window with inconsistent views)
+            barrier("cov")
+            if pid == 0:
+                ckpt.save_covariates(pipe.cov.totals)
+    pipe.compute_recal_table()
+
+
 def _run_multihost_passes(pipe, mk, ckpt, pid: int) -> None:
     """Passes 1-3 with pass-boundary checkpoint skip/save (SURVEY.md §6).
 
@@ -883,21 +943,13 @@ def _run_multihost_passes(pipe, mk, ckpt, pid: int) -> None:
     reloads the same bytes; skip decisions are therefore consistent
     across hosts and the collectives stay in step.
 
-    The SHARDED layout's filters are NOT replicated, and per-host shard
-    checkpointing needs a completion-barrier protocol to keep skip
-    decisions consistent — so sharded + checkpoint is refused loudly,
-    and sharded runs go straight through the passes."""
+    The SHARDED layout's filters are NOT replicated: each host saves
+    its LOCAL shard, a cross-host barrier confirms every shard landed,
+    and only then does process 0 mark the pass complete — so a crash
+    mid-save leaves the pass unmarked and every restarted host makes
+    the same (re-run) decision."""
     if not isinstance(pipe, MultihostRecalPipeline):
-        if ckpt is not None:
-            raise ValueError(
-                "--checkpoint-dir with the multi-host SHARDED Bloom "
-                "layout is not supported yet; use the replicated "
-                "layout or run without checkpoints")
-        pipe.run_pass1(mk())
-        _maybe_crash("pass2", pid, pipe.packed_a)
-        pipe.run_pass2(mk())
-        pipe.run_pass3(mk())
-        pipe.compute_recal_table()
+        _run_sharded_mh_passes(pipe, mk, ckpt, pid)
         return
 
     rows = ckpt.load_array("mh_rows_a") if ckpt else None
@@ -989,7 +1041,7 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
               "trust_threshold": config.trust_threshold,
               "ext_cap": effective_ext_cap(config), "use_oq": use_oq,
               "num_reads": n, "total_bases": bases, "bam": True,
-              "num_processes": H}
+              "num_processes": H, "bloom_layout": _kind}
         ckpt.check_fingerprint(fp)
 
     _run_multihost_passes(pipe, mk, ckpt, pid)

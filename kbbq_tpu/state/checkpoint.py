@@ -152,6 +152,37 @@ class Checkpoint:
             json.dump(d, f)
         os.replace(tmp, self._host_path(pid))
 
+    def save_host_array(self, pid: int, name: str, arr) -> None:
+        """One host's LOCAL shard of a pass artifact (sharded multi-host
+        layout) — written atomically, NOT marked in passes_done (the
+        caller marks the pass only after a cross-host barrier confirms
+        every shard landed, keeping restart skip decisions consistent)."""
+        os.makedirs(self.path, exist_ok=True)
+        path = os.path.join(self.path, f"{name}_host{pid}.npy")
+        tmp = path + ".tmp.npy"
+        np.save(tmp, np.asarray(arr))
+        os.replace(tmp, path)
+
+    def load_host_array(self, pid: int, name: str) -> np.ndarray | None:
+        """Load this host's shard IF the pass was marked complete."""
+        if name not in self.load_meta()["passes_done"]:
+            return None
+        path = os.path.join(self.path, f"{name}_host{pid}.npy")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"checkpoint marks {name} complete but host {pid}'s "
+                f"shard file is missing — was the run restarted with a "
+                f"different process count?")
+        return np.load(path)
+
+    def mark_pass(self, name: str) -> None:
+        """Record a pass complete (call AFTER all artifacts are on disk
+        — for sharded multi-host, after the cross-host barrier)."""
+        meta = self.load_meta()
+        if name not in meta["passes_done"]:
+            meta["passes_done"].append(name)
+        self.save_meta(meta)
+
     # ------------------------------------------------------------ passes
     def save_bloom(self, name: str, state: BloomState) -> None:
         os.makedirs(self.path, exist_ok=True)

@@ -414,3 +414,59 @@ def test_two_process_sharded_bloom_matches_single_chip(tmp_path):
     for i in range(3):
         assert open(outs_p[i], "rb").read() == \
             open(want[i], "rb").read(), f"file {i} differs"
+
+
+def test_two_process_sharded_checkpoint_resume_after_kill(tmp_path):
+    """Recovery on the SHARDED layout: per-host shard saves + barrier +
+    marker protocol — host 1 killed after the pass-1 marker, full
+    restart resumes without recomputing pass 1, output byte-identical."""
+    import json as _json
+    import time
+
+    d = str(tmp_path)
+    paths = _write_inputs(d)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want = [os.path.join(d, f"want{i}.fq") for i in range(3)]
+    recalibrate_fastq(paths, want, cfg)
+
+    outs_p = [os.path.join(d, f"out{i}.fq") for i in range(3)]
+    ck = os.path.join(d, "ck")
+    cmd = [sys.executable, "-m", "kbbq_tpu", "recalibrate", *paths,
+           "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--multihost", "--bloom-layout", "sharded",
+           "--checkpoint-dir", ck]
+    for o in outs_p:
+        cmd += ["-o", o]
+
+    procs = _launch2(cmd, "127.0.0.1:29549",
+                     {"KBBQ_CRASH_POINT": "pass2:1"})
+    assert procs[1].wait(timeout=900) == 41
+    meta = os.path.join(ck, "meta.json")
+    deadline = time.time() + 120
+
+    def _marked():
+        try:
+            return "mh_sh_rows_a" in _json.load(
+                open(meta))["passes_done"]
+        except Exception:
+            return False
+
+    while not _marked() and time.time() < deadline:
+        time.sleep(0.2)
+    procs[0].kill()
+    procs[0].communicate()
+    assert _marked(), "pass-1 marker missing"
+    shard0 = os.path.join(ck, "mh_sh_rows_a_host0.npy")
+    shard1 = os.path.join(ck, "mh_sh_rows_a_host1.npy")
+    assert os.path.exists(shard0) and os.path.exists(shard1)
+    mt = (os.path.getmtime(shard0), os.path.getmtime(shard1))
+
+    procs = _launch2(cmd, "127.0.0.1:29550")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+    for i in range(3):
+        assert open(outs_p[i], "rb").read() == \
+            open(want[i], "rb").read(), f"file {i} differs"
+    assert (os.path.getmtime(shard0), os.path.getmtime(shard1)) == mt, \
+        "pass-1 shards were recomputed despite the checkpoint"
