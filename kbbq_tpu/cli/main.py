@@ -81,6 +81,28 @@ def _add_recal_args(p: argparse.ArgumentParser) -> None:
                         "by input path, BAM/CRAM by RG tag)")
 
 
+def _finish_multihost(stats: dict, dt: float, out=None) -> int:
+    """Shared multihost epilogue: per-host stderr summary + the stats
+    JSON line the pod launcher collects (one implementation for the
+    FASTQ/BAM/CRAM arms — round-5 self-review #8)."""
+    import json
+    if out is not None:
+        print(f"[kbbq-tpu] host {stats['process_id']}/"
+              f"{stats['num_processes']}: wrote "
+              f"{stats['host_reads_written']} of "
+              f"{stats['num_reads']} reads -> {stats['part']} "
+              f"in {dt:.2f}s; `cat {out}.part-* > {out}`",
+              file=sys.stderr)
+    else:
+        print(f"[kbbq-tpu] host {stats['process_id']}/"
+              f"{stats['num_processes']}: wrote "
+              f"{stats['host_reads_written']} of {stats['num_reads']} "
+              f"reads in {dt:.2f}s ({stats['devices']} devices)",
+              file=sys.stderr)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_recalibrate(args) -> int:
     from ..pipeline import RecalConfig
 
@@ -125,16 +147,7 @@ def cmd_recalibrate(args) -> int:
                 fasta_ref=args.fasta_ref, info=info,
                 checkpoint_dir=args.checkpoint_dir,
                 bloom_layout=args.bloom_layout)
-            dt = time.time() - t0
-            print(f"[kbbq-tpu] host {stats['process_id']}/"
-                  f"{stats['num_processes']}: wrote "
-                  f"{stats['host_reads_written']} of "
-                  f"{stats['num_reads']} reads -> {stats['part']} "
-                  f"in {dt:.2f}s; `cat {out}.part-* > {out}`",
-                  file=sys.stderr)
-            import json
-            print(json.dumps(stats))
-            return 0
+            return _finish_multihost(stats, time.time() - t0, out)
         if args.input[0].endswith(".bam"):
             if len(args.input) != 1:
                 raise SystemExit("multi-host BAM mode takes one input")
@@ -148,16 +161,7 @@ def cmd_recalibrate(args) -> int:
                 set_oq=args.set_oq, chunk_records=args.chunk_reads,
                 info=info, checkpoint_dir=args.checkpoint_dir,
                 bloom_layout=args.bloom_layout)
-            dt = time.time() - t0
-            print(f"[kbbq-tpu] host {stats['process_id']}/"
-                  f"{stats['num_processes']}: wrote "
-                  f"{stats['host_reads_written']} of "
-                  f"{stats['num_reads']} reads -> {stats['part']} "
-                  f"in {dt:.2f}s; `cat {out}.part-* > {out}`",
-                  file=sys.stderr)
-            import json
-            print(json.dumps(stats))
-            return 0
+            return _finish_multihost(stats, time.time() - t0, out)
         if args.output is None or len(args.output) != len(args.input):
             raise SystemExit(
                 "multi-host mode needs one -o output per input file "
@@ -171,15 +175,7 @@ def cmd_recalibrate(args) -> int:
             chunk_reads=args.chunk_reads, info=info,
             checkpoint_dir=args.checkpoint_dir,
             bloom_layout=args.bloom_layout)
-        dt = time.time() - t0
-        print(f"[kbbq-tpu] host {stats['process_id']}/"
-              f"{stats['num_processes']}: wrote "
-              f"{stats['host_reads_written']} of {stats['num_reads']} "
-              f"reads in {dt:.2f}s ({stats['devices']} devices)",
-              file=sys.stderr)
-        import json
-        print(json.dumps(stats))
-        return 0
+        return _finish_multihost(stats, time.time() - t0)
     devices = args.devices
     if devices == 0:  # 0 = all available
         import jax

@@ -42,10 +42,16 @@ def _cycle_value(idx: int) -> int:
 def _rg_label(name: str) -> str:
     """Report-safe read-group label: the report's columns are
     whitespace-split, so an empty RG (reads without an RG tag) gets a
-    sentinel and embedded whitespace is folded — applied identically
-    on write and apply so the labels stay consistent keys."""
-    import re
-    return re.sub(r"\s+", "_", name) if name else "__unnamed__"
+    sentinel and whitespace is %-escaped — INJECTIVELY ('rg 1' and
+    'rg_1' must stay distinct keys), applied identically on write and
+    apply."""
+    if not name:
+        return "__unnamed__"
+    out = name.replace("%", "%25")
+    for ch, esc in ((" ", "%20"), ("\t", "%09"), ("\n", "%0A"),
+                    ("\r", "%0D"), ("\x0b", "%0B"), ("\x0c", "%0C")):
+        out = out.replace(ch, esc)
+    return out
 
 
 def write_gatk_report(tables: CovariateTables, rg_names: list[str],

@@ -709,7 +709,39 @@ class CramStream:
             blocks.append(b)
         return cont, blocks, raw
 
-    def containers(self):
+    def _skip_container(self) -> bool:
+        """Hop over one data container WITHOUT inflating its blocks:
+        header parse + seek(length).  False at the EOF container/EOF.
+        Multi-host range iteration uses this so host h pays O(headers)
+        for containers before its range instead of a full decode."""
+        peek = self.f.read(4096)
+        while True:
+            if not peek:
+                return False
+            try:
+                cont, _ = read_container_header(
+                    np.frombuffer(peek, np.uint8), 0)
+                break
+            except IndexError:
+                more = self.f.read(65536)
+                if not more:
+                    raise CRAMError("truncated container header")
+                peek += more
+        if cont is None:
+            return False
+        if cont.ref_id == -1 and cont.n_records == 0 and \
+                cont.n_blocks == 1 and cont.length == 15:
+            return False                 # EOF container
+        already = len(peek) - cont.body_pos
+        self.f.seek(cont.length - already, 1)
+        return True
+
+    def containers(self, skip: int = 0):
+        """Yield (container, blocks, raw) per DATA container; the first
+        `skip` containers are seeked over without block decode."""
+        for _ in range(skip):
+            if not self._skip_container():
+                return
         while True:
             cont, blocks, raw = self._next_container()
             if cont is None:

@@ -78,7 +78,8 @@ def _map(entries: list[bytes], count: int) -> bytes:
 
 
 def write_cram(bf, path: str, records_per_container: int = 100000,
-               ref: dict | None = None, embed_ref: bool = False) -> None:
+               ref: dict | None = None, embed_ref: bool = False,
+               records_per_slice: int | None = None) -> None:
     """Write a BamFile's records as CRAM 3.0.
 
     ref: {refname: bytes} — mapped single-M-segment records whose
@@ -101,7 +102,8 @@ def write_cram(bf, path: str, records_per_container: int = 100000,
         chunk = recs[s:s + records_per_container]
         if not chunk:
             break
-        out += _write_container(chunk, s, ref, ref_names, embed_ref)
+        out += _write_container(chunk, s, ref, ref_names, embed_ref,
+                                records_per_slice)
     out += _EOF_CONTAINER
     with open(path, "wb") as f:
         f.write(out)
@@ -210,30 +212,18 @@ def _container_header(length, ref_id, start, span, n_rec, counter,
     return hdr + struct.pack("<I", zlib.crc32(hdr))
 
 
-def _write_container(chunk, counter0: int, ref: dict | None = None,
-                     ref_names: list | None = None,
-                     embed_ref: bool = False) -> bytes:
-    # --- gather per-series byte streams
+def _encode_slice(chunk, ref_seq, line_index: dict, tag_lines: list):
+    """Per-record data-series streams for ONE slice.
+
+    line_index/tag_lines are CONTAINER-wide mutable state (the TD tag
+    dictionary in the compression header covers every slice).  Returns
+    (S, tag_streams, bases, ap_min, ap_max)."""
     S = {k: bytearray() for k in CID}
     S["BS"] = bytearray()
     tag_streams: dict = {}
-    tag_lines: list = []
-    line_index: dict = {}
 
     def put_int(key, v):
         S[key] += write_itf8(v)
-
-    # reference-based encoding applies when the whole chunk maps to ONE
-    # reference we hold (a slice carries at most one embedded ref)
-    ref_seq = None
-    ref_id_common = None
-    if ref is not None and ref_names:
-        ids = {r.refid for r in chunk if not (r.flag & 0x4)}
-        if len(ids) == 1:
-            (rid,) = ids
-            if 0 <= rid < len(ref_names) and ref_names[rid] in ref:
-                ref_seq = ref[ref_names[rid]]
-                ref_id_common = rid
 
     bases = 0
     ap_min, ap_max = None, 0
@@ -311,10 +301,36 @@ def _write_container(chunk, counter0: int, ref: dict | None = None,
         else:
             S["BA"] += seq_bytes
             S["QS"] += q
+    return S, tag_streams, bases, ap_min, ap_max
 
-    # --- compression header
-    used_ref = bool(S["BS"]) or (ref_seq is not None and ap_min
-                                 is not None)
+
+def _write_container(chunk, counter0: int, ref: dict | None = None,
+                     ref_names: list | None = None,
+                     embed_ref: bool = False,
+                     records_per_slice: int | None = None) -> bytes:
+    """One data container; records_per_slice splits it into MULTIPLE
+    slices sharing the compression header (the htslib
+    slices-per-container shape — single-slice when None)."""
+    # reference-based encoding applies when the whole chunk maps to ONE
+    # reference we hold (a slice carries at most one embedded ref)
+    ref_seq = None
+    if ref is not None and ref_names:
+        ids = {r.refid for r in chunk if not (r.flag & 0x4)}
+        if len(ids) == 1:
+            (rid,) = ids
+            if 0 <= rid < len(ref_names) and ref_names[rid] in ref:
+                ref_seq = ref[ref_names[rid]]
+
+    rps = records_per_slice or max(len(chunk), 1)
+    subs = [chunk[i:i + rps] for i in range(0, max(len(chunk), 1), rps)]
+    line_index: dict = {}
+    tag_lines: list = []
+    enc = [_encode_slice(s, ref_seq, line_index, tag_lines)
+           for s in subs]
+
+    # --- compression header (container-wide: TD spans all slices)
+    used_ref = any(bool(e[0]["BS"]) for e in enc) or (
+        ref_seq is not None and any(e[3] is not None for e in enc))
     pres = []
     pres.append(b"RN" + bytes([1]))
     pres.append(b"AP" + bytes([0]))
@@ -341,7 +357,8 @@ def _write_container(chunk, counter0: int, ref: dict | None = None,
 
     tag_cids = {}
     tag_entries = []
-    for i, tkey in enumerate(sorted(tag_streams)):
+    all_tkeys = sorted({tk for e in enc for tk in e[1]})
+    for i, tkey in enumerate(all_tkeys):
         cid = _TAG_CID0 + i
         tag_cids[tkey] = cid
         tag_entries.append(write_itf8(tkey) + _encoding_stop(0, cid))
@@ -350,38 +367,46 @@ def _write_container(chunk, counter0: int, ref: dict | None = None,
     comp_raw = pres_map + ds_map + tag_map
     comp_block = _block(1, 1, 0, bytes(comp_raw))
 
-    # --- slice
-    ext_blocks = []
-    content_ids = []
-    for key, cid in CID.items():
-        if S[key]:
-            ext_blocks.append(_block(4, 4, cid, bytes(S[key])))
-            content_ids.append(cid)
-    for tkey, st in sorted(tag_streams.items()):
-        ext_blocks.append(_block(1, 4, tag_cids[tkey], bytes(st)))
-        content_ids.append(tag_cids[tkey])
-    emb_id = -1
-    slice_start, slice_span = 0, 0
-    if used_ref and ap_min is not None:
-        slice_start = ap_min
-        slice_span = ap_max - ap_min + 1
-        if embed_ref:
-            emb_id = 99
-            seg = ref_seq[slice_start - 1:slice_start - 1 + slice_span]
-            ext_blocks.append(_block(1, 4, emb_id, bytes(seg)))
-            content_ids.append(emb_id)
-    core_block = _block(0, 5, 0, b"")
+    # --- slices (landmarks = slice-header offsets within the body)
+    body = bytearray(comp_block)
+    landmarks = []
+    counter = counter0
+    total_blocks = 1
+    total_bases = sum(e[2] for e in enc)
+    for (S, tag_streams, _sb, ap_min, ap_max), s_chunk in zip(enc, subs):
+        ext_blocks = []
+        content_ids = []
+        for key, cid in CID.items():
+            if S[key]:
+                ext_blocks.append(_block(4, 4, cid, bytes(S[key])))
+                content_ids.append(cid)
+        for tkey, st in sorted(tag_streams.items()):
+            ext_blocks.append(_block(1, 4, tag_cids[tkey], bytes(st)))
+            content_ids.append(tag_cids[tkey])
+        emb_id = -1
+        slice_start, slice_span = 0, 0
+        if used_ref and ap_min is not None:
+            slice_start = ap_min
+            slice_span = ap_max - ap_min + 1
+            if embed_ref:
+                emb_id = 99
+                seg = ref_seq[slice_start - 1:slice_start - 1
+                              + slice_span]
+                ext_blocks.append(_block(1, 4, emb_id, bytes(seg)))
+                content_ids.append(emb_id)
+        core_block = _block(0, 5, 0, b"")
 
-    sh = write_itf8(-2) + write_itf8(slice_start) \
-        + write_itf8(slice_span) \
-        + write_itf8(len(chunk)) + write_ltf8(counter0) \
-        + write_itf8(1 + len(ext_blocks)) \
-        + _arr_itf8(content_ids) + write_itf8(emb_id) + bytes(16)
-    slice_hdr_block = _block(0, 2, 0, sh)
+        sh = write_itf8(-2) + write_itf8(slice_start) \
+            + write_itf8(slice_span) \
+            + write_itf8(len(s_chunk)) + write_ltf8(counter) \
+            + write_itf8(1 + len(ext_blocks)) \
+            + _arr_itf8(content_ids) + write_itf8(emb_id) + bytes(16)
+        landmarks.append(len(body))
+        body += _block(0, 2, 0, sh) + core_block + b"".join(ext_blocks)
+        counter += len(s_chunk)
+        total_blocks += 2 + len(ext_blocks)
 
-    body = comp_block + slice_hdr_block + core_block \
-        + b"".join(ext_blocks)
     hdr = _container_header(
-        len(body), -2, 0, 0, len(chunk), counter0, bases,
-        2 + 1 + len(ext_blocks), [len(comp_block)])
-    return hdr + body
+        len(body), -2, 0, 0, len(chunk), counter0, total_bases,
+        total_blocks, landmarks)
+    return hdr + bytes(body)

@@ -172,9 +172,12 @@ def extract_padded_arrays(fq: FastqData, max_len: int | None = None):
 
 
 def is_gz_path(p) -> bool:
-    """True for a str/bytes sink path named *.gz — those outputs must be
+    """True for a path-like sink named *.gz — those outputs must be
     compressed, never plain bytes under a .gz name (SURVEY.md C7: the
     reference writes through htslib/BGZF; round-4 VERDICT missing #3)."""
+    import os
+    if isinstance(p, os.PathLike):
+        p = os.fspath(p)
     if isinstance(p, bytes):
         return p.endswith(b".gz")
     return isinstance(p, str) and p.endswith(".gz")
@@ -208,11 +211,17 @@ def open_fastq_sink(path):
 
 
 def _write_out(buf: bytes, path_or_file) -> None:
+    import os
+    if isinstance(path_or_file, os.PathLike):
+        path_or_file = os.fspath(path_or_file)
     if isinstance(path_or_file, (str, bytes)):
         if is_gz_path(path_or_file):
+            # same level as the streamed GzipFastqSink so the in-RAM
+            # and streamed engines stay BYTE-identical on .gz sinks
             from . import bgzf
+            from .bam_stream import DEFAULT_COMPRESS_LEVEL
             with open(path_or_file, "wb") as f:
-                f.write(bgzf.compress(buf))
+                f.write(bgzf.compress(buf, DEFAULT_COMPRESS_LEVEL))
             return
         with open(path_or_file, "wb") as f:
             f.write(buf)

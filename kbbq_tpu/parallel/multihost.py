@@ -284,21 +284,29 @@ class MultihostRecalPipeline:
     _recal_local = None
 
 
-class MultihostShardedBloomPipeline:
+_SHARDED_IMPL_CLS = None
+
+
+def MultihostShardedBloomPipeline(*a, **kw):
     """Hash-space-sharded Bloom over a MULTI-PROCESS global mesh.
 
     BASELINE config 5 at real WGS sizing: the packed filters shard
     across ALL pod devices, so each host materializes only its devices'
     words — per-host filter memory is O(m / num_hosts), not O(m).
-    Subclasses parallel/sharded_bloom.py's pipeline, replacing array
-    PLACEMENT only: every global array assembles from process-local
-    rows (jax.make_array_from_process_local_data), and host folds read
+    Factory (the implementation class is built once, lazily, so this
+    module's import stays light): subclasses
+    parallel/sharded_bloom.py's pipeline, replacing array PLACEMENT
+    only — every global array assembles from process-local rows
+    (jax.make_array_from_process_local_data), and host folds read
     fully-replicated reductions instead of raw shards.  The shard_map
-    step programs are identical — their collectives are host-agnostic.
+    step programs are identical; their collectives are host-agnostic.
     """
+    return _sharded_impl_cls()(*a, **kw)
 
-    def __new__(cls, *a, **kw):
-        # late-bind the base class to keep module import light
+
+def _sharded_impl_cls():
+    global _SHARDED_IMPL_CLS
+    if _SHARDED_IMPL_CLS is None:
         from .sharded_bloom import ShardedBloomRecalPipeline
 
         class _Impl(ShardedBloomRecalPipeline):
@@ -376,7 +384,8 @@ class MultihostShardedBloomPipeline:
                     jnp.asarray(b.quals), jnp.asarray(b.mask),
                     jnp.asarray(b.rgs), jnp.asarray(b.seconds))
 
-        return _Impl(*a, **kw)
+        _SHARDED_IMPL_CLS = _Impl
+    return _SHARDED_IMPL_CLS
 
 
 def _make_mh_pipeline(config, num_rg, max_len, total_bases, total_kmers,
@@ -507,6 +516,10 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
         fp = stream_fingerprint(config, in_paths, scan)
         fp["num_processes"] = H     # resume requires the same topology
         fp["bloom_layout"] = _kind  # shard artifacts differ per layout
+        # pass-4 resume offsets are in CHUNK units and pairing flips
+        # pass-3/4 covariates — both must match to resume
+        fp["chunk_reads"] = chunk
+        fp["interleaved"] = bool(interleaved)
         ckpt.check_fingerprint(fp)
 
     _run_multihost_passes(pipe, mk, ckpt, pid)
@@ -707,17 +720,20 @@ class _CramHostBatches:
         self.rg_lut = lut
 
     def containers(self):
-        """(container_index, cont, blocks, raw) over [lo, hi)."""
+        """(container_index, cont, blocks, raw) over [lo, hi) —
+        containers before lo are header-seeked, not decoded (a full
+        decode-and-discard made aggregate pod decode work O(hosts x
+        file) per pass; round-5 self-review #7)."""
         from ..io.cram import CramStream
         if self.lo >= self.hi:
             return
         with CramStream(self.path) as cs:
             self._ref_names = cs.ref_names
-            for ci, (cont, blocks, raw) in enumerate(cs.containers()):
+            for off, (cont, blocks, raw) in enumerate(
+                    cs.containers(skip=self.lo)):
+                ci = self.lo + off
                 if ci >= self.hi:
                     break
-                if ci < self.lo:
-                    continue
                 yield ci, cont, blocks, raw
 
     def decoded_containers(self):
@@ -797,9 +813,13 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
     lo, hi = ranges[pid]
 
     local_batch = config.batch_size // H
+    # batches are emitted per SLICE (one _slice_batches call each), so
+    # the cross-host step budget must count them the same way — a
+    # per-container ceil under-counts multi-slice containers and the
+    # collectives would desynchronize
     steps = max(
-        (sum((m["n_primary"] + local_batch - 1) // local_batch
-             for m in metas[a:b] if m["n_primary"])
+        (sum((sp + local_batch - 1) // local_batch
+             for m in metas[a:b] for sp in m["slice_prims"] if sp)
          for a, b in ranges), default=0)
 
     pipe, _kind = _make_mh_pipeline(

@@ -114,6 +114,7 @@ def scan_cram_meta(path: str, k: int, fasta_ref: str | None,
             comp = parse_compression_header(blocks[0].data)
             c_prim = c_rec = 0
             ordinal0 = n
+            slice_prims: list[int] = []
             for group in split_slices(blocks):
                 light = scan_slice_vec(comp, group)
                 if light is not None:
@@ -136,6 +137,7 @@ def scan_cram_meta(path: str, k: int, fasta_ref: str | None,
                     c_rec += len(recs)
                 n += pl.size
                 c_prim += pl.size
+                slice_prims.append(int(pl.size))
                 bases += int(pl.sum())
                 tk += int(np.maximum(pl - k + 1, 0).sum())
                 if pl.size:
@@ -147,7 +149,13 @@ def scan_cram_meta(path: str, k: int, fasta_ref: str | None,
                         if key not in registry:
                             registry[key] = len(registry)
             metas.append({"n_records": c_rec, "n_primary": c_prim,
-                          "ordinal": ordinal0})
+                          "ordinal": ordinal0,
+                          # per-SLICE primary counts: the multi-host
+                          # step budget must count batches as the batch
+                          # source emits them (one _slice_batches call
+                          # per slice) or pods with multi-slice
+                          # containers desynchronize their collectives
+                          "slice_prims": slice_prims})
         if not registry:
             registry[""] = 0
         return (metas, n, bases, tk, max_len, registry, rg_names,
@@ -245,8 +253,12 @@ def container_new_qs(slices, blocks, recal, max_len: int):
     not rewritten (non-primary, CF&1 unset)."""
     from ..ops.recal import apply_recal_table_host
 
+    # every slice carries its OWN QS block under the SAME content id,
+    # so the lookup must stay within the slice's block group — a
+    # container-wide search would hand slice 2 the first slice's bytes
+    groups = split_slices(blocks)
     qs_new = []
-    for _, payload, squals in slices:
+    for (_, payload, squals), group in zip(slices, groups):
         codes, quals, mask, rgs, seconds, lens, prim, _n = payload
         if prim.size == 0 or squals.qs_len == 0 \
                 or not squals.lens.any():
@@ -257,7 +269,7 @@ def container_new_qs(slices, blocks, recal, max_len: int):
         # rebuild the slice's QS stream: original bytes with each
         # primary's span overwritten (re-flipped to stored orientation
         # for reverse-strand reads)
-        qs_block = next(b for b in blocks
+        qs_block = next(b for b in group
                         if b.content_id == squals.qs_cid
                         and b.content_type == 4)
         qs_arr = np.frombuffer(qs_block.data, np.uint8).copy()

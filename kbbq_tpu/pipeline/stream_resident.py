@@ -519,7 +519,12 @@ def recalibrate_fastq_stream_resident(
     if checkpoint_dir:
         from ..state.checkpoint import Checkpoint, stream_fingerprint
         ckpt = Checkpoint(checkpoint_dir)
-        ckpt.check_fingerprint(stream_fingerprint(config, in_paths, scan))
+        fp = stream_fingerprint(config, in_paths, scan)
+        # pass-4 chunk-offset resume counts in CHUNK units, and the
+        # pairing mode changes covariates — pin both (self-review r5)
+        fp["chunk_reads"] = int(chunk_reads)
+        fp["interleaved"] = bool(interleaved)
+        ckpt.check_fingerprint(fp)
 
     if apply_report is not None:
         from ..gatk_report import read_gatk_report, recal_table_from_report

@@ -132,7 +132,10 @@ def recalibrate_fastq_streaming(in_paths, out_paths, config: RecalConfig,
     if checkpoint_dir:
         from ..state.checkpoint import Checkpoint, stream_fingerprint
         ckpt = Checkpoint(checkpoint_dir)
-        ckpt.check_fingerprint(stream_fingerprint(config, in_paths, scan))
+        fp = stream_fingerprint(config, in_paths, scan)
+        fp["chunk_reads"] = int(chunk_reads)
+        fp["interleaved"] = bool(interleaved)
+        ckpt.check_fingerprint(fp)
 
     def mk():
         return StreamingBatches(in_paths, config.batch_size, scan.max_len,

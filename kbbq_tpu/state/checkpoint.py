@@ -203,8 +203,12 @@ class Checkpoint:
         rather than byte staging)."""
         os.makedirs(self.path, exist_ok=True)
         # plain asarray (no dtype=): dtype-converting asarray on device
-        # arrays is pathologically slow (docs/KNOWN_ISSUES.md #5)
-        np.save(os.path.join(self.path, f"{name}.npy"), np.asarray(arr))
+        # arrays is pathologically slow (docs/KNOWN_ISSUES.md #5).
+        # tmp+rename so a crash mid-write never leaves a partial file
+        # under the final name (the recovery tests poll for it)
+        path = os.path.join(self.path, f"{name}.npy")
+        np.save(path + ".tmp.npy", np.asarray(arr))
+        os.replace(path + ".tmp.npy", path)
         meta = self.load_meta()
         if name not in meta["passes_done"]:
             meta["passes_done"].append(name)

@@ -288,6 +288,9 @@ def test_cli_gz_output_is_compressed(fq_file, tmp_path):
     assert r.returncode == 0, r.stderr.decode()
     with gzip.open(gz2) as f:
         assert f.read() == plain.read_bytes()
+    # BYTE identity between the in-RAM and streamed .gz writers (same
+    # BGZF level + chunking — round-5 self-review #3)
+    assert gz2.read_bytes() == gz.read_bytes()
 
     # two inputs -> one concatenated .gz sink
     ds2 = make_dataset(genome_len=800, read_len=50, coverage=15.0,

@@ -363,3 +363,43 @@ def test_cram_all_substitution_record_missing_ref_raises(tmp_path):
     fa.write_text(">chr1\n" + ref_bytes.decode() + "\n")
     got, _ = read_cram(str(p), fasta_ref=str(fa))
     assert (got.records[0].seq_codes() == codes).all()
+
+
+def test_cram_multi_slice_roundtrip(tmp_path):
+    """Multiple slices per container (htslib's slices_per_container
+    shape): shared compression header, per-slice block sets, landmark
+    offsets — decode must match record-for-record."""
+    from kbbq_tpu.io.cram import CramStream, split_slices
+
+    bf = _mixed_records(seed=51, n=60)
+    p = tmp_path / "ms.cram"
+    write_cram(bf, str(p), records_per_container=30, records_per_slice=8)
+    with CramStream(str(p)) as cs:
+        per_cont = [len(split_slices(blocks))
+                    for _, blocks, _ in cs.containers()]
+    assert per_cont == [4, 4]          # 30 records -> 8+8+8+6
+    bf2, _ = read_cram(str(p))
+    assert len(bf2.records) == len(bf.records)
+    for a, b in zip(bf.records, bf2.records):
+        assert a.name == b.name and a.flag == b.flag
+        assert (a.seq_codes() == b.seq_codes()).all(), a.name
+        assert (a.quals() == b.quals()).all(), a.name
+        assert b.get_zstr("OQ") == a.get_zstr("OQ")
+
+
+def test_cram_multi_slice_ref_based_roundtrip(tmp_path):
+    bf, ref_bytes = _ref_records(seed=53)
+    for embed in (False, True):
+        p = tmp_path / f"ms{embed}.cram"
+        write_cram(bf, str(p), records_per_container=30,
+                   records_per_slice=7, ref={"chr1": ref_bytes},
+                   embed_ref=embed)
+        if embed:
+            got, _ = read_cram(str(p))
+        else:
+            fa = tmp_path / "ref.fa"
+            fa.write_text(">chr1\n" + ref_bytes.decode() + "\n")
+            got, _ = read_cram(str(p), fasta_ref=str(fa))
+        for a, b in zip(bf.records, got.records):
+            assert (a.seq_codes() == b.seq_codes()).all(), a.name
+            assert (a.quals() == b.quals()).all()

@@ -342,3 +342,28 @@ def test_mixed_b_and_ref_fill_matches_general(tmp_path):
         # and the decoded bases really mix b spans with ref fill
         codes0 = np.asarray(fast[0])
         assert (codes0 == 4).any() and (codes0 < 4).any()
+
+
+def test_streaming_cram_multi_slice(tmp_path):
+    """Streaming recalibrate on a MULTI-slice-per-container CRAM: the
+    per-slice QS surgery and the vectorized decoder must agree with the
+    whole-file path record-for-record."""
+    from kbbq_tpu.pipeline.bam import recalibrate_cram
+
+    bf = _mixed_records(seed=47, n=90)
+    src = tmp_path / "ms.cram"
+    write_cram(bf, str(src), records_per_container=45,
+               records_per_slice=16)
+    cfg = RecalConfig(k=16, coverage=14.0, batch_size=64)
+    whole = tmp_path / "whole.cram"
+    recalibrate_cram(str(src), str(whole), cfg)
+    stream = tmp_path / "stream.cram"
+    recalibrate_cram_stream_resident(str(src), str(stream), cfg,
+                                     window_reads=32)
+    a = _decode_all(str(whole))
+    b = _decode_all(str(stream))
+    assert len(a.records) == len(b.records) == len(bf.records)
+    for ra, rb in zip(a.records, b.records):
+        assert ra.name == rb.name
+        assert (ra.seq_codes() == rb.seq_codes()).all()
+        assert (ra.quals() == rb.quals()).all(), ra.name

@@ -97,3 +97,39 @@ def test_report_roundtrip_cram(tmp_path):
     for ra, rb in zip(a.records, b.records):
         assert ra.name == rb.name
         assert (ra.quals() == rb.quals()).all()
+
+
+def test_rg_label_injective():
+    """'rg 1' and 'rg_1' must stay DISTINCT report keys (round-5
+    self-review #4) — and the escape round-trips via the apply path."""
+    from kbbq_tpu.gatk_report import _rg_label
+
+    names = ["rg 1", "rg_1", "rg%201", "rg\t1", "", "a b", "a%20b",
+             "a\nb", "plain"]
+    labels = [_rg_label(n) for n in names]
+    assert len(set(labels)) == len(labels), labels
+    for lab in labels:
+        assert not any(c.isspace() for c in lab), lab
+
+
+def test_gz_pathlib_sink(tmp_path):
+    """pathlib.Path('out.fq.gz') through the library API must compress
+    (round-5 self-review #5)."""
+    import gzip
+    import pathlib
+
+    from kbbq_tpu.pipeline import RecalConfig
+    from kbbq_tpu.pipeline.recalibrate import recalibrate_fastq
+    from kbbq_tpu.utils.synth import make_dataset, to_fastq_bytes
+
+    ds = make_dataset(genome_len=600, read_len=50, coverage=12.0,
+                      error_rate=0.02, seed=3)
+    src = tmp_path / "in.fq"
+    src.write_bytes(to_fastq_bytes(ds))
+    out = pathlib.Path(tmp_path / "out.fq.gz")
+    recalibrate_fastq([str(src)], out,
+                      RecalConfig(k=16, coverage=12.0, batch_size=64))
+    raw = out.read_bytes()
+    assert raw[:2] == b"\x1f\x8b"
+    assert gzip.decompress(raw).count(b"\n") == \
+        src.read_bytes().count(b"\n")

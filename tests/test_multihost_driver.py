@@ -470,3 +470,43 @@ def test_two_process_sharded_checkpoint_resume_after_kill(tmp_path):
             open(want[i], "rb").read(), f"file {i} differs"
     assert (os.path.getmtime(shard0), os.path.getmtime(shard1)) == mt, \
         "pass-1 shards were recomputed despite the checkpoint"
+
+
+def test_two_process_cli_cram_multi_slice(tmp_path):
+    """Multi-host CRAM with MULTI-slice containers: the per-SLICE step
+    budget must keep the pod's collectives in lockstep (a per-container
+    budget under-counts and deadlocks — round-5 self-review #1)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_cram import _mixed_records
+
+    from kbbq_tpu.io.cram_write import write_cram
+    from kbbq_tpu.pipeline.cram_stream import \
+        recalibrate_cram_stream_resident
+
+    d = str(tmp_path)
+    cram = os.path.join(d, "in.cram")
+    bf = _mixed_records(seed=31, n=200)
+    # slices of 24 records with local_batch 32: slice batches (1 each)
+    # disagree with per-container ceils (96/32=3 vs 4 slices) — the
+    # budget must count 4
+    write_cram(bf, cram, records_per_container=96, records_per_slice=24)
+
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want_path = os.path.join(d, "want.cram")
+    recalibrate_cram_stream_resident(cram, want_path, cfg,
+                                     window_reads=64)
+
+    out = os.path.join(d, "out.cram")
+    cmd = [sys.executable, "-m", "kbbq_tpu", "recalibrate", cram,
+           "-o", out, "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--multihost"]
+    procs = _launch2(cmd, "127.0.0.1:29551")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+    parts = sorted(
+        p for p in os.listdir(d) if p.startswith("out.cram.part-"))
+    cat = b"".join(open(os.path.join(d, p), "rb").read()
+                   for p in parts)
+    assert cat == open(want_path, "rb").read()
