@@ -118,10 +118,6 @@ def cmd_recalibrate(args) -> int:
     multihost = args.multihost or \
         int(os.environ.get("JAX_NUM_PROCESSES", "1")) > 1
     if multihost:
-        if report_out or apply_report:
-            raise SystemExit(
-                "--report-out/--apply-report are single-host flags; "
-                "run them on the merged output or a single host")
         # BASELINE config 5 (human WGS multi-host) is a CLI-shaped
         # workload: every pod process runs this same command and the
         # streaming driver shards the input files across hosts
@@ -146,7 +142,8 @@ def cmd_recalibrate(args) -> int:
                 args.input[0], out, cfg, use_oq=args.use_oq,
                 fasta_ref=args.fasta_ref, info=info,
                 checkpoint_dir=args.checkpoint_dir,
-                bloom_layout=args.bloom_layout)
+                bloom_layout=args.bloom_layout,
+                report_out=report_out, apply_report=apply_report)
             return _finish_multihost(stats, time.time() - t0, out)
         if args.input[0].endswith(".bam"):
             if len(args.input) != 1:
@@ -160,7 +157,8 @@ def cmd_recalibrate(args) -> int:
                 args.input[0], out, cfg, use_oq=args.use_oq,
                 set_oq=args.set_oq, chunk_records=args.chunk_reads,
                 info=info, checkpoint_dir=args.checkpoint_dir,
-                bloom_layout=args.bloom_layout)
+                bloom_layout=args.bloom_layout,
+                report_out=report_out, apply_report=apply_report)
             return _finish_multihost(stats, time.time() - t0, out)
         if args.output is None or len(args.output) != len(args.input):
             raise SystemExit(
@@ -174,7 +172,8 @@ def cmd_recalibrate(args) -> int:
             args.input, args.output, cfg, interleaved=args.interleaved,
             chunk_reads=args.chunk_reads, info=info,
             checkpoint_dir=args.checkpoint_dir,
-            bloom_layout=args.bloom_layout)
+            bloom_layout=args.bloom_layout,
+            report_out=report_out, apply_report=apply_report)
         return _finish_multihost(stats, time.time() - t0)
     devices = args.devices
     if devices == 0:  # 0 = all available

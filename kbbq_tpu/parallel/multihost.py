@@ -448,7 +448,9 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
                                 chunk_reads: int | None = None,
                                 info: dict | None = None,
                                 checkpoint_dir: str | None = None,
-                                bloom_layout: str = "auto") -> dict:
+                                bloom_layout: str = "auto",
+                                report_out: str | None = None,
+                                apply_report: str | None = None) -> dict:
     """Streaming multi-host data-parallel recalibration (config 5).
 
     Every process calls this with the SAME arguments (shared filesystem);
@@ -510,7 +512,7 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
                               scan.max_len)
 
     ckpt = None
-    if checkpoint_dir:
+    if checkpoint_dir and apply_report is None:
         from ..state.checkpoint import Checkpoint, stream_fingerprint
         ckpt = Checkpoint(checkpoint_dir)
         fp = stream_fingerprint(config, in_paths, scan)
@@ -522,7 +524,9 @@ def recalibrate_fastq_multihost(in_paths, out_paths, config,
         fp["interleaved"] = bool(interleaved)
         ckpt.check_fingerprint(fp)
 
-    _run_multihost_passes(pipe, mk, ckpt, pid)
+    _run_mh_passes_or_apply(pipe, mk, ckpt, pid,
+                            [str(p) for p in in_paths], scan.max_len,
+                            report_out, apply_report)
 
     # pass 4: local, per owned file (.gz sinks BGZF-compress); with a
     # checkpoint, per-host file/chunk/byte offsets resume mid-file on
@@ -781,7 +785,9 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
                                fasta_ref: str | None = None,
                                info: dict | None = None,
                                checkpoint_dir: str | None = None,
-                               bloom_layout: str = "auto") -> dict:
+                               bloom_layout: str = "auto",
+                               report_out: str | None = None,
+                               apply_report: str | None = None) -> dict:
     """Streaming multi-host CRAM recalibration (SURVEY.md C6/C7).
 
     Every process runs this with the same arguments; each host scans
@@ -833,7 +839,7 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
         return _padded_stream(iter(src), steps, local_batch, max_len)
 
     ckpt = None
-    if checkpoint_dir:
+    if checkpoint_dir and apply_report is None:
         from ..state.checkpoint import Checkpoint, effective_ext_cap
         ckpt = Checkpoint(checkpoint_dir)
         fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
@@ -845,7 +851,10 @@ def recalibrate_cram_multihost(in_path: str, out_path: str, config,
               "num_processes": H, "bloom_layout": _kind}
         ckpt.check_fingerprint(fp)
 
-    _run_multihost_passes(pipe, mk, ckpt, pid)
+    from ..pipeline.bam import _registry_names
+    _run_mh_passes_or_apply(pipe, mk, ckpt, pid,
+                            _registry_names(registry), max_len,
+                            report_out, apply_report)
     recal = pipe.recal_table
 
     # pass 4: rewrite own container range into this host's part file
@@ -954,6 +963,26 @@ def _run_sharded_mh_passes(pipe, mk, ckpt, pid: int) -> None:
     pipe.compute_recal_table()
 
 
+def _run_mh_passes_or_apply(pipe, mk, ckpt, pid: int, rg_names,
+                            max_len: int, report_out, apply_report
+                            ) -> None:
+    """Report-interop-aware multihost pass dispatch (the pod twin of
+    pipeline/recalibrate.py::_run_or_apply): apply_report skips the
+    model build entirely (every host builds the same table from the
+    same report — no collectives, so skips are trivially consistent);
+    report_out has process 0 write the GATKReport (covariate totals are
+    replicated, identical on every host)."""
+    if apply_report is not None:
+        from ..gatk_report import read_gatk_report, recal_table_from_report
+        pipe.recal_table = recal_table_from_report(
+            read_gatk_report(apply_report), rg_names, max_len)
+        return
+    _run_multihost_passes(pipe, mk, ckpt, pid)
+    if report_out is not None and pid == 0:
+        from ..gatk_report import write_gatk_report
+        write_gatk_report(pipe.cov.totals, rg_names, report_out)
+
+
 def _run_multihost_passes(pipe, mk, ckpt, pid: int) -> None:
     """Passes 1-3 with pass-boundary checkpoint skip/save (SURVEY.md §6).
 
@@ -1006,7 +1035,9 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
                               chunk_records: int | None = None,
                               info: dict | None = None,
                               checkpoint_dir: str | None = None,
-                              bloom_layout: str = "auto") -> dict:
+                              bloom_layout: str = "auto",
+                              report_out: str | None = None,
+                              apply_report: str | None = None) -> dict:
     """Streaming multi-host BAM recalibration.
 
     Every process runs this with the same arguments; each host scans
@@ -1052,7 +1083,7 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
         return _padded_stream(iter(src), steps, local_batch, max_len)
 
     ckpt = None
-    if checkpoint_dir:
+    if checkpoint_dir and apply_report is None:
         from ..state.checkpoint import Checkpoint, effective_ext_cap
         ckpt = Checkpoint(checkpoint_dir)
         fp = {"k": k, "alpha": config.alpha, "coverage": config.coverage,
@@ -1064,7 +1095,10 @@ def recalibrate_bam_multihost(in_path: str, out_path: str, config,
               "num_processes": H, "bloom_layout": _kind}
         ckpt.check_fingerprint(fp)
 
-    _run_multihost_passes(pipe, mk, ckpt, pid)
+    from ..pipeline.bam import _registry_names
+    _run_mh_passes_or_apply(pipe, mk, ckpt, pid,
+                            _registry_names(registry), max_len,
+                            report_out, apply_report)
 
     # pass 4: rewrite own chunk range into this host's part file (a
     # resumed run rewrites the whole part — BGZF parts are not

@@ -238,30 +238,7 @@ def recalibrate_cram(in_path: str, out_path, config: RecalConfig,
         total_bases += L
         rewrite_quals(rec, new_quals[i][:L], set_oq=set_oq)
 
-    if isinstance(out_path, (str, bytes)) and \
-            str(out_path).endswith(".cram"):
-        from ..io.cram_write import write_cram
-        # writer needs numeric RG per record (registry order == @RG
-        # order in the decoded header, both first-appearance).  Assign
-        # per RECORD IDENTITY — a name-keyed dict silently gave every
-        # same-named mate/secondary the last primary's RG (ADVICE r3);
-        # non-primary records derive theirs from their own RG:Z tag.
-        for i, rec in enumerate(primary):
-            rec._rg_index = int(rgs[i])
-        for rec in bf.records:
-            if hasattr(rec, "_rg_index"):
-                continue
-            tag = rec.get_zstr("RG")
-            key = tag.decode() if tag is not None else ""
-            rec._rg_index = registry.get(key, -1)
-        write_cram(bf, out_path)
-    else:
-        data = serialize_bam(bf, compress=True)
-        if isinstance(out_path, (str, bytes)):
-            with open(out_path, "wb") as f:
-                f.write(data)
-        else:
-            out_path.write(data)
+    _write_alignment_output(bf, out_path, "bam", primary, rgs, registry)
     return {"num_reads": len(primary), "total_bases": total_bases,
             "read_groups": len(registry)}
 
@@ -348,7 +325,59 @@ def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
         total_bases += L
         rewrite_quals(rec, new_quals[i][:L], set_oq=set_oq)
 
-    if is_sam:
+    _write_alignment_output(bf, out_path, "sam" if is_sam else "bam",
+                            primary, rgs, registry)
+    return {"num_reads": len(primary), "total_bases": total_bases,
+            "read_groups": len(registry)}
+
+
+def _assign_cram_rg(bf, primary, rgs, registry) -> None:
+    """Numeric RG per record for the CRAM writer.
+
+    The CRAM wire format's RG integer indexes the HEADER's @RG line
+    order — which need NOT match the registry's record-first-appearance
+    order (a read file whose first record carries the header's second
+    RG would silently swap groups on write).  So map each record's RG
+    NAME (via the registry's dense id for primaries, the RG:Z tag
+    otherwise) to its header index."""
+    hdr_idx: dict[str, int] = {}
+    for ln in bf.header_text.splitlines():
+        if ln.startswith("@RG"):
+            for fld in ln.split("\t")[1:]:
+                if fld.startswith("ID:"):
+                    hdr_idx.setdefault(fld[3:], len(hdr_idx))
+    name_of = {v: k for k, v in registry.items()}
+    for i, rec in enumerate(primary):
+        rec._rg_index = hdr_idx.get(name_of.get(int(rgs[i]), ""), -1)
+    for rec in bf.records:
+        if hasattr(rec, "_rg_index"):
+            continue
+        tag = rec.get_zstr("RG")
+        key = tag.decode() if tag is not None else ""
+        rec._rg_index = hdr_idx.get(key, -1)
+
+
+def _write_alignment_output(bf, out_path, default_fmt: str, primary,
+                            rgs, registry) -> None:
+    """Serialize by OUTPUT extension — .sam / .bam / .cram — the
+    htslib-style format-polymorphic sink (SURVEY.md C7); unnamed sinks
+    (stdout, file objects) keep the input's format."""
+    name = out_path if isinstance(out_path, (str, bytes)) else None
+    sfx = (name.decode() if isinstance(name, bytes) else name) or ""
+    if sfx.endswith(".sam"):
+        fmt = "sam"
+    elif sfx.endswith(".cram"):
+        fmt = "cram"
+    elif sfx.endswith(".bam"):
+        fmt = "bam"
+    else:
+        fmt = default_fmt
+    if fmt == "cram":
+        from ..io.cram_write import write_cram
+        _assign_cram_rg(bf, primary, rgs, registry)
+        write_cram(bf, out_path)
+        return
+    if fmt == "sam":
         from ..io.sam import serialize_sam
         data = serialize_sam(bf)
     else:
@@ -358,5 +387,3 @@ def recalibrate_bam(in_path: str, out_path, config: RecalConfig,
             f.write(data)
     else:
         out_path.write(data)
-    return {"num_reads": len(primary), "total_bases": total_bases,
-            "read_groups": len(registry)}

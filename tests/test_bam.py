@@ -206,3 +206,49 @@ def test_bgzf_member_index_and_range_iteration(tmp_path):
         for (b1, o1, s1), (b2, o2, s2) in zip(all_chunks[start:], got):
             assert np.array_equal(b1, b2)
             assert np.array_equal(o1, o2) and np.array_equal(s1, s2)
+
+
+def test_output_format_routing_by_extension(tmp_path):
+    """htslib-style format-polymorphic sink (SURVEY.md C7): the output
+    EXTENSION picks the serializer — BAM in can write .sam/.cram, and
+    the decoded quals agree across all three."""
+    import numpy as np
+
+    from kbbq_tpu.io.bam import BamFile, build_record, read_bam, \
+        serialize_bam
+    from kbbq_tpu.io.cram import read_cram
+    from kbbq_tpu.io.sam import read_sam
+    from kbbq_tpu.pipeline import RecalConfig
+    from kbbq_tpu.pipeline.bam import recalibrate_bam
+
+    rng = np.random.default_rng(15)
+    recs = []
+    for i in range(50):
+        codes = rng.integers(0, 4, 60).astype(np.int8)
+        quals = rng.integers(8, 40, 60).astype(np.int8)
+        recs.append(build_record(f"r{i}", codes, quals,
+                                 flag=0x10 if i % 2 else 0,
+                                 rg="g0" if i % 3 else "g1"))
+    src = tmp_path / "in.bam"
+    src.write_bytes(serialize_bam(
+        BamFile("@HD\tVN:1.6\n@RG\tID:g0\n@RG\tID:g1\n", [], recs)))
+    cfg = RecalConfig(k=16, coverage=10.0, batch_size=32)
+
+    out_bam = tmp_path / "o.bam"
+    out_sam = tmp_path / "o.sam"
+    out_cram = tmp_path / "o.cram"
+    recalibrate_bam(str(src), str(out_bam), cfg)
+    recalibrate_bam(str(src), str(out_sam), cfg)
+    recalibrate_bam(str(src), str(out_cram), cfg)
+
+    a = read_bam(str(out_bam))
+    b = read_sam(str(out_sam))
+    c, _ = read_cram(str(out_cram))
+    assert out_sam.read_bytes().startswith(b"@HD")
+    assert out_cram.read_bytes()[:4] == b"CRAM"
+    assert len(a.records) == len(b.records) == len(c.records) == 50
+    for ra, rb, rc in zip(a.records, b.records, c.records):
+        assert ra.name == rb.name == rc.name
+        assert (ra.quals() == rb.quals()).all()
+        assert (ra.quals() == rc.quals()).all()
+        assert rc.get_zstr("RG") == ra.get_zstr("RG")

@@ -510,3 +510,46 @@ def test_two_process_cli_cram_multi_slice(tmp_path):
     cat = b"".join(open(os.path.join(d, p), "rb").read()
                    for p in parts)
     assert cat == open(want_path, "rb").read()
+
+
+def test_two_process_report_roundtrip(tmp_path):
+    """Report interop across topologies: a single-host --report-out
+    applied by a 2-process pod (applybqsr --multihost) reproduces the
+    single-host direct run byte-for-byte; and a pod --report-out equals
+    the single-host report."""
+    d = str(tmp_path)
+    paths = _write_inputs(d)
+    cfg = RecalConfig(k=16, coverage=20.0, batch_size=64)
+    want = [os.path.join(d, f"want{i}.fq") for i in range(3)]
+    from kbbq_tpu.pipeline.recalibrate import recalibrate_fastq as _rf
+    rpt = os.path.join(d, "recal.txt")
+    _rf(paths, want, cfg, report_out=rpt)
+
+    # pod APPLY from the single-host report
+    outs_p = [os.path.join(d, f"out{i}.fq") for i in range(3)]
+    cmd = [sys.executable, "-m", "kbbq_tpu", "applybqsr", "-r", rpt,
+           *paths, "-k", "16", "-c", "20.0", "--batch-size", "64",
+           "--multihost"]
+    for o in outs_p:
+        cmd += ["-o", o]
+    procs = _launch2(cmd, "127.0.0.1:29553")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+    for i in range(3):
+        assert open(outs_p[i], "rb").read() == \
+            open(want[i], "rb").read(), f"file {i} differs"
+
+    # pod --report-out == the single-host report
+    rpt2 = os.path.join(d, "recal2.txt")
+    outs2 = [os.path.join(d, f"o2_{i}.fq") for i in range(3)]
+    cmd2 = [sys.executable, "-m", "kbbq_tpu", "recalibrate", *paths,
+            "-k", "16", "-c", "20.0", "--batch-size", "64",
+            "--multihost", "--report-out", rpt2]
+    for o in outs2:
+        cmd2 += ["-o", o]
+    procs = _launch2(cmd2, "127.0.0.1:29554")
+    results = [p.communicate(timeout=900) for p in procs]
+    for p, (so, se) in zip(procs, results):
+        assert p.returncode == 0, se.decode()[-3000:]
+    assert open(rpt2).read() == open(rpt).read()
