@@ -172,33 +172,50 @@ def parse_cigar(data, off, n_cigar):
     return out
 
 
+def _cram_record_chunks(path: str, refs: dict):
+    """CRAM as container-at-a-time raw BAM record chunks: (ref_names,
+    generator of (buf, offs, sizes)) matching iter_bam_raw_chunks'
+    contract — O(container) memory, no temp BAM (ADVICE round 4)."""
+    from .io.cram import CramStream, decode_slice, \
+        parse_compression_header, split_slices
+
+    with CramStream(path) as cs0:
+        ref_names = list(cs0.ref_names)
+
+    def chunks():
+        with CramStream(path) as cs:
+            for cont, blocks, _ in cs.containers():
+                comp = parse_compression_header(blocks[0].data)
+                recs = []
+                for group in split_slices(blocks):
+                    recs.extend(decode_slice(comp, group, cont.ref_id,
+                                             refs, cs.ref_names))
+                if not recs:
+                    continue
+                offs, sizes, parts = [], [], []
+                pos = 0
+                for r in recs:
+                    body = bytes(r.data)
+                    parts.append(body)
+                    offs.append(pos)
+                    sizes.append(len(body))
+                    pos += len(body)
+                yield (np.frombuffer(b"".join(parts), np.uint8),
+                       np.asarray(offs, np.int64),
+                       np.asarray(sizes, np.int64))
+
+    return ref_names, chunks()
+
+
 def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
                   fastq_path: str | None = None, label: str = "kbbq-tpu"):
     """Per-reported-Q (errors, totals) histogram from alignments.
 
-    Streams the BAM in chunks (bounded memory at WGS scale).  CRAM
-    input is decoded (CIGARs reconstructed from features, the
-    --reference FASTA doubles as the CRAM reference) and re-serialized
-    through the same chunked walk — NOTE: that decode is whole-file
-    in memory + a temp BAM on disk, so WGS-scale benchmarking should
-    feed BAM directly (ADVICE round 4)."""
+    Streams the input in chunks (bounded memory at WGS scale) — BAM via
+    the raw BGZF chunk reader, CRAM container-at-a-time (CIGARs
+    reconstructed from features; the --reference FASTA doubles as the
+    CRAM reference)."""
     import struct
-
-    if str(bam_path).endswith(".cram"):
-        import tempfile
-
-        from .io.bam import serialize_bam
-        from .io.cram import read_cram
-        bf, _ = read_cram(bam_path, fasta_ref=ref_path)
-        tmp = tempfile.NamedTemporaryFile(suffix=".bam", delete=False)
-        tmp.write(serialize_bam(bf, compress=True))
-        tmp.close()
-        try:
-            return benchmark_bam(tmp.name, ref_path, vcf_path,
-                                 fastq_path, label)
-        finally:
-            import os
-            os.unlink(tmp.name)
 
     refs = read_fasta(ref_path)
     sites = read_vcf_sites(vcf_path)
@@ -216,9 +233,12 @@ def benchmark_bam(bam_path: str, ref_path: str, vcf_path: str,
 
     totals = np.zeros(NUM_Q, dtype=np.int64)
     errors = np.zeros(NUM_Q, dtype=np.int64)
-    from .io.bam_stream import iter_bam_raw_chunks
-    _, bam_refs, raw_chunks = iter_bam_raw_chunks(bam_path)
-    ref_names = [name for name, _ in bam_refs]
+    if str(bam_path).endswith(".cram"):
+        ref_names, raw_chunks = _cram_record_chunks(bam_path, refs)
+    else:
+        from .io.bam_stream import iter_bam_raw_chunks
+        _, bam_refs, raw_chunks = iter_bam_raw_chunks(bam_path)
+        ref_names = [name for name, _ in bam_refs]
 
     # Per-chromosome precompute (once, not per record / per segment):
     # base codes via a 256-entry LUT and a dense variable-site bool mask

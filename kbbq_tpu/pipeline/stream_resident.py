@@ -357,6 +357,10 @@ class StreamResidentEngine:
         self._cache_enabled = (source.total_bases // 4) <= budget
         self._cache_complete = False
         self._dev_cache: list = []
+        # producer-side stage timing (prefetch-thread seconds spent in
+        # source decode vs host pack + device put) — diagnostic only,
+        # read through the driver's stage_stats (chr20 p1 attribution)
+        self.stage_stats = {"source_s": 0.0, "stage_s": 0.0}
 
     # ------------------------------------------------------- staging
     def _stage(self, arrs, ordinal: int):
@@ -405,8 +409,19 @@ class StreamResidentEngine:
                         yield staged, None, ordinal
                 return
             self._dev_cache.clear()  # drop any partial fill
-            for arrs, ordinal in self.source.chunks():
+            import time as _t
+            it = iter(self.source.chunks())
+            while True:
+                t0 = _t.perf_counter()
+                try:
+                    arrs, ordinal = next(it)
+                except StopIteration:
+                    break
+                t1 = _t.perf_counter()
                 staged = self._stage(arrs, ordinal)
+                t2 = _t.perf_counter()
+                self.stage_stats["source_s"] += t1 - t0
+                self.stage_stats["stage_s"] += t2 - t1
                 if self._cache_enabled:
                     self._dev_cache.append((staged, ordinal))
                 yield staged, (arrs if with_host else None), ordinal
@@ -501,18 +516,27 @@ def recalibrate_fastq_stream_resident(
     """
     import time as _time
     t_last = [_time.time()]
-
-    def _mark(name):
-        if timings is not None:
-            now = _time.time()
-            timings[name] = round(now - t_last[0], 3)
-            t_last[0] = now
+    _stage_last = [0.0, 0.0]
 
     if isinstance(in_paths, (str, bytes)):
         in_paths = [in_paths]
     scan = scan_fastq_files(in_paths, config.k, chunk_reads)
     src = FastqWindowSource(in_paths, scan, interleaved, chunk_reads)
     eng = StreamResidentEngine(src, config)
+
+    def _mark(name):                      # rebind now that eng exists
+        if timings is not None:
+            now = _time.time()
+            timings[name] = round(now - t_last[0], 3)
+            t_last[0] = now
+            ss = eng.stage_stats
+            timings[name + "_src"] = round(
+                ss["source_s"] - _stage_last[0], 3)
+            timings[name + "_put"] = round(
+                ss["stage_s"] - _stage_last[1], 3)
+            _stage_last[0] = ss["source_s"]
+            _stage_last[1] = ss["stage_s"]
+
     _mark("scan")
 
     ckpt = None
