@@ -373,9 +373,15 @@ class StreamResidentEngine:
             codes = np.concatenate(
                 [codes, np.full((npad - n, self.L), 4, np.int8)])
             lens = np.concatenate([lens, np.zeros(npad - n, np.uint16)])
-        in_mask = (np.arange(self.L, dtype=np.int32)[None, :]
-                   < lens[:, None].astype(np.int32))
-        n_pos = np.flatnonzero((codes == 4) & in_mask).astype(np.int32)
+        if npad == n and lens.size and int(lens.min()) == self.L:
+            # uniform full-length window (the common short-read shape):
+            # every code-4 byte is a real N — no [N, L] mask temporaries
+            n_pos = np.flatnonzero(codes == 4).astype(np.int32)
+        else:
+            in_mask = (np.arange(self.L, dtype=np.int32)[None, :]
+                       < lens[:, None].astype(np.int32))
+            n_pos = np.flatnonzero(
+                (codes == 4) & in_mask).astype(np.int32)
         cap = _npos_bucket(n_pos.size)
         flat_n = npad * self.L
         n_pos = np.concatenate(
@@ -410,7 +416,12 @@ class StreamResidentEngine:
                 return
             self._dev_cache.clear()  # drop any partial fill
             import time as _t
-            it = iter(self.source.chunks())
+            # source decode runs on ITS OWN prefetch thread so it
+            # overlaps the pack+put below — the two were serialized in
+            # one producer thread before, and at chr20 scale each costs
+            # ~29 s of the 58 s pass-1 wall (round-5 instrumentation)
+            it = iter(prefetch_iter(iter(self.source.chunks()),
+                                    depth=2))
             while True:
                 t0 = _t.perf_counter()
                 try:
@@ -642,14 +653,17 @@ def recalibrate_fastq_stream_resident(
     wex = ThreadPoolExecutor(1)
     pending: list = []
     try:
+        p4_gather = 0.0
         for fi, fq, arrs, ordinal in prefetch_iter(src.full_chunks(),
                                                    depth=2):
             if chunk_idx < done_chunks:
                 chunk_idx += 1
                 continue
             codes, quals, mask, rgs, seconds, _ = arrs
+            _tg = _time.perf_counter()
             nq = apply_recal_table_host(recal, codes, quals, mask, rgs,
                                         seconds)
+            p4_gather += _time.perf_counter() - _tg
             sink = sinks[0] if single_sink else sinks[fi]
             if resumable:
                 write_fastq_with_quals(fq, nq, mask, sink)
@@ -669,6 +683,8 @@ def recalibrate_fastq_stream_resident(
         for f in opened:
             f.close()
     _mark("pass4")
+    if timings is not None:
+        timings["pass4_gather"] = round(p4_gather, 3)
 
     return {"num_reads": scan.num_reads,
             "total_bases": scan.total_bases,
