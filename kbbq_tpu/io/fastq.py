@@ -229,12 +229,12 @@ def _write_out(buf: bytes, path_or_file) -> None:
         path_or_file.write(buf)
 
 
-def write_fastq_with_quals(fq: FastqData, new_quals: np.ndarray,
-                           mask: np.ndarray, path_or_file) -> None:
-    """Write the input FASTQ with quality lines replaced (only-quals-change
-    invariant).  new_quals: int [N, Lmax] phred values; mask: bool [N, Lmax].
-    A *.gz output path is BGZF-compressed (gzip-readable).
-    """
+def render_fastq_with_quals(fq: FastqData, new_quals: np.ndarray,
+                            mask: np.ndarray) -> bytes:
+    """The input FASTQ bytes with quality lines replaced (only-quals-
+    change invariant) — the render half of write_fastq_with_quals, so
+    pass-4 pipelines can run renders in parallel and keep sink writes
+    ordered."""
     out = fq.buf.copy()
     n = fq.num_reads
     if n:
@@ -249,11 +249,19 @@ def write_fastq_with_quals(fq: FastqData, new_quals: np.ndarray,
             lens = mask.sum(axis=1).astype(np.int64)
             nq = np.asarray(new_quals, np.int8)
             if native_lib.fastq_write_quals(out, fq.qual_starts, lens, nq):
-                _write_out(out.tobytes(), path_or_file)
-                return
+                return out.tobytes()
         pos = np.arange(L, dtype=np.int64)[None, :]
         idx = fq.qual_starts[:, None] + pos
         flat_idx = idx[mask]
         flat_q = (np.asarray(new_quals)[mask].astype(np.int64) + PHRED_OFFSET)
         out[flat_idx] = flat_q.astype(np.uint8)
-    _write_out(out.tobytes(), path_or_file)
+    return out.tobytes()
+
+
+def write_fastq_with_quals(fq: FastqData, new_quals: np.ndarray,
+                           mask: np.ndarray, path_or_file) -> None:
+    """Write the input FASTQ with quality lines replaced.  new_quals:
+    int [N, Lmax] phred values; mask: bool [N, Lmax].  A *.gz output
+    path is BGZF-compressed (gzip-readable)."""
+    _write_out(render_fastq_with_quals(fq, new_quals, mask),
+               path_or_file)

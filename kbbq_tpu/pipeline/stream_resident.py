@@ -646,11 +646,20 @@ def recalibrate_fastq_stream_resident(
                 sinks.append(o)
 
     chunk_idx = 0
-    # write-behind: the sink write (buffer render + disk) runs on a
-    # single worker thread so it overlaps the next chunk's decode +
-    # gather.  With checkpointing the write stays synchronous — the
-    # resume bookkeeping (bytes written so far) must be exact.
+    # pass-4 pipeline: RENDERS (buffer copy + native qual scatter) run
+    # on a 2-worker pool while the single write worker consumes their
+    # futures in submission order — ordered sink writes, parallel
+    # renders, and both overlap the next chunk's gather (round-5
+    # instrumentation: gather is ~4 s of a ~29 s chr20 pass 4; the
+    # serialized render+write worker was the rest).  With checkpointing
+    # the write stays synchronous — the resume bookkeeping (bytes
+    # written so far) must be exact.
+    from ..io.fastq import render_fastq_with_quals
+    import os as _os
     wex = ThreadPoolExecutor(1)
+    # 1 render worker on small hosts (a 4-core box already runs main +
+    # prefetch + writer threads); wider on real TPU hosts
+    rex = ThreadPoolExecutor(2 if (_os.cpu_count() or 4) > 4 else 1)
     pending: list = []
     try:
         p4_gather = 0.0
@@ -673,13 +682,15 @@ def recalibrate_fastq_stream_resident(
                                  "bytes": sink.tell()}
                 ckpt.save_meta(meta)
             else:
-                pending.append(wex.submit(write_fastq_with_quals, fq,
-                                          nq, mask, sink))
+                rfut = rex.submit(render_fastq_with_quals, fq, nq, mask)
+                pending.append(wex.submit(
+                    lambda f=rfut, s=sink: s.write(f.result())))
             chunk_idx += 1
     finally:
         for f in pending:   # drain queued writes before closing sinks
             f.result()
         wex.shutdown(wait=False)
+        rex.shutdown(wait=False)
         for f in opened:
             f.close()
     _mark("pass4")
@@ -802,12 +813,14 @@ def recalibrate_bam_stream_resident(
     # gather (and decode, when the host cache is over budget).
     header_text, refs, _ = iter_bam_raw_chunks(in_path, 1)
     writer = BamStreamWriter(out_path, header_text, refs)
+    # rewrite (in-buffer qual scatter) runs on its own pool while the
+    # single write worker consumes the futures in order — the BGZF
+    # deflate (itself multithreaded) overlaps the next chunk's rewrite
+    # instead of serializing behind it
+    import os as _os
     wex = ThreadPoolExecutor(1)
+    rex = ThreadPoolExecutor(2 if (_os.cpu_count() or 4) > 4 else 1)
     pending: list = []
-
-    def _rewrite_and_write(buf, offs, sizes, prim, lens, nq):
-        writer.write_raw(rewrite_quals_chunk(buf, offs, sizes, prim,
-                                             lens, nq, set_oq=set_oq))
 
     try:
         for buf, offs, sizes, dec in prefetch_iter(
@@ -816,14 +829,17 @@ def recalibrate_bam_stream_resident(
             if prim.size:
                 nq = apply_recal_table_host(recal, codes, quals, mask,
                                             rgs, seconds)
-                pending.append(wex.submit(_rewrite_and_write, buf, offs,
-                                          sizes, prim, lens, nq))
+                rfut = rex.submit(rewrite_quals_chunk, buf, offs, sizes,
+                                  prim, lens, nq, set_oq=set_oq)
+                pending.append(wex.submit(
+                    lambda f=rfut: writer.write_raw(f.result())))
             else:
                 pending.append(wex.submit(writer.write_raw, buf))
     finally:
         for f in pending:   # drain queued writes before closing
             f.result()
         wex.shutdown(wait=False)
+        rex.shutdown(wait=False)
         writer.close()
     _mark("pass4")
 
