@@ -203,16 +203,25 @@ class FastqWindowSource:
             yield from self._cache.items
             return
         self._cache.restart()
+
+        def scanned():
+            # the sequential file read + newline index runs on its own
+            # prefetch stage so it overlaps the array extract below
+            # (they were serialized; each is roughly half the chr20
+            # decode leg)
+            for fi, path in enumerate(self.in_paths):
+                for fq in iter_fastq_chunks(path, self.chunk_reads):
+                    yield fi, fq
+
         ordinal = 0
-        for fi, path in enumerate(self.in_paths):
-            for fq in iter_fastq_chunks(path, self.chunk_reads):
-                arrs = chunk_to_batch_arrays(fq, self.max_len, fi,
-                                             ordinal, self.interleaved)
-                item = (fi, fq, arrs, ordinal)
-                self._cache.add(item, fq.buf.nbytes
-                                + sum(a.nbytes for a in arrs))
-                yield item
-                ordinal += fq.num_reads
+        for fi, fq in prefetch_iter(scanned(), depth=2):
+            arrs = chunk_to_batch_arrays(fq, self.max_len, fi,
+                                         ordinal, self.interleaved)
+            item = (fi, fq, arrs, ordinal)
+            self._cache.add(item, fq.buf.nbytes
+                            + sum(a.nbytes for a in arrs))
+            yield item
+            ordinal += fq.num_reads
         self._cache.finish()
 
     def chunks(self):
