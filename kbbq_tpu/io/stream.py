@@ -57,34 +57,61 @@ def iter_fastq_chunks(path: str,
     """
     f = _open_stream(path)
     try:
-        carry = bytearray()
+        # the live region is a LIST of uint8 blocks plus a head offset
+        # into the first one — a bytearray carry cost ~3 extra copies of
+        # the whole file per pass (append realloc + del-prefix memmove +
+        # slice + bytes()); each chunk is now assembled with ONE copy
+        # and handed to the parser as the owning array (no re-copy)
+        blocks: list[np.ndarray] = []
+        head = 0                     # consumed prefix of blocks[0]
+        live = 0                     # bytes in the live region
         nl: np.ndarray = np.zeros(0, dtype=np.int64)  # newline offsets
         at_eof = False
+
+        def cut_bytes(cut: int) -> np.ndarray:
+            """Remove and return the live region's first `cut` bytes."""
+            nonlocal head, live
+            out = np.empty(cut, np.uint8)
+            pos = 0
+            while pos < cut:
+                b = blocks[0]
+                avail = b.size - head
+                take_b = min(avail, cut - pos)
+                out[pos:pos + take_b] = b[head:head + take_b]
+                pos += take_b
+                head += take_b
+                if head == b.size:
+                    blocks.pop(0)
+                    head = 0
+            live -= cut
+            return out
+
         while True:
             if not at_eof:
                 block = f.read(block_bytes)
                 if block:
-                    base = len(carry)
-                    carry += block
-                    offs = np.flatnonzero(
-                        np.frombuffer(block, np.uint8) == _NL) + base
+                    arr = np.frombuffer(block, np.uint8)
+                    offs = np.flatnonzero(arr == _NL) + live
+                    blocks.append(arr)
+                    live += arr.size
                     nl = np.concatenate([nl, offs])
                 else:
                     at_eof = True
-                    if carry and carry[-1] != _NL:
-                        carry += b"\n"
-                        nl = np.concatenate(
-                            [nl, np.asarray([len(carry) - 1])])
+                    last_nl = (blocks and blocks[-1].size
+                               and blocks[-1][-1] == _NL)
+                    if live and not last_nl:
+                        blocks.append(np.frombuffer(b"\n", np.uint8))
+                        nl = np.concatenate([nl, np.asarray([live])])
+                        live += 1
             nrec = nl.size // 4
             if nrec >= chunk_reads or (at_eof and nrec > 0):
                 take = min(chunk_reads, nrec)
                 cut = int(nl[take * 4 - 1]) + 1
-                yield parse_fastq_bytes(bytes(carry[:cut]))
-                del carry[:cut]
+                yield parse_fastq_bytes(cut_bytes(cut))
                 nl = nl[take * 4:] - cut
                 continue
             if at_eof:
-                if len(bytes(carry).strip()):
+                if live and len(cut_bytes(live).tobytes().strip()):
                     raise ValueError(
                         f"{path}: truncated FASTQ record at EOF "
                         f"({nl.size} trailing lines)")
