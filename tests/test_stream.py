@@ -416,3 +416,56 @@ def test_host_chunk_cache_invariance(tmp_path, monkeypatch):
         bam_outs.append(ob.read_bytes())
     assert fq_outs[0] == fq_outs[1] == fq_outs[2]
     assert bam_outs[0] == bam_outs[1] == bam_outs[2]
+
+
+def test_iter_fastq_chunks_tiny_blocks_fuzz(tmp_path):
+    """The block-list chunk assembly must be byte-exact for ANY block
+    size (cuts landing mid-block, on block edges, multi-block records)
+    — fuzz block_bytes down to 3 bytes against a whole-file parse."""
+    import numpy as np
+
+    from kbbq_tpu.io.fastq import parse_fastq_bytes
+    from kbbq_tpu.io.stream import iter_fastq_chunks
+
+    rng = np.random.default_rng(8)
+    recs = []
+    for i in range(137):
+        L = int(rng.integers(1, 90))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGTN", np.uint8), L))
+        q = bytes((rng.integers(0, 40, L) + 33).astype(np.uint8))
+        recs.append(b"@read_%d extra stuff\n%s\n+\n%s\n"
+                    % (i, seq, q))
+    blob = b"".join(recs)
+    p = tmp_path / "fuzz.fq"
+    p.write_bytes(blob)
+    want = parse_fastq_bytes(blob)
+
+    for block_bytes in (3, 17, 64, 1021, 1 << 20):
+        for chunk_reads in (1, 7, 137, 1000):
+            got_n = 0
+            names, seqs, quals = [], [], []
+            for fq in iter_fastq_chunks(str(p), chunk_reads,
+                                        block_bytes=block_bytes):
+                for i in range(fq.num_reads):
+                    names.append(fq.name_bytes(i))
+                    seqs.append(fq.seq_bytes(i))
+                    quals.append(fq.qual_bytes(i))
+                got_n += fq.num_reads
+            assert got_n == want.num_reads, (block_bytes, chunk_reads)
+            for i in range(want.num_reads):
+                assert names[i] == want.name_bytes(i)
+                assert seqs[i] == want.seq_bytes(i)
+                assert quals[i] == want.qual_bytes(i)
+
+    # missing trailing newline still parses; trailing garbage raises
+    p2 = tmp_path / "nonl.fq"
+    p2.write_bytes(blob[:-1])
+    n = sum(fq.num_reads for fq in iter_fastq_chunks(str(p2), 10,
+                                                     block_bytes=13))
+    assert n == want.num_reads
+    p3 = tmp_path / "trunc.fq"
+    p3.write_bytes(blob + b"@orphan\nACGT\n")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="truncated"):
+        for _ in iter_fastq_chunks(str(p3), 10, block_bytes=13):
+            pass
